@@ -1,0 +1,194 @@
+"""Unit tests for the north-rule quality kernels: langid, Gopher/C4 features,
+char-LM perplexity, HTML extraction, text stats."""
+
+from vigil_ray.config import QualityConfig
+from vigil_ray.kernel.html import extract_text, wrap_text
+from vigil_ray.kernel.langid import classify
+from vigil_ray.kernel.perplexity import CharLM, default_model
+from vigil_ray.kernel.quality import quality_features, quality_rules
+from vigil_ray.kernel.textstats import (
+    char_shingles,
+    count_bpe_pieces,
+    count_ws_tokens,
+    md5_hex,
+    rolling_hash,
+    word_ngrams,
+)
+
+
+class TestLangId:
+    def test_english(self):
+        lang, score = classify(
+            "the quick brown fox jumps over the lazy dog and runs to the river"
+        )
+        assert lang == "en" and score > 0.2
+
+    def test_portuguese(self):
+        lang, _ = classify(
+            "o pedido de acesso à informação foi registrado no sistema e "
+            "a resposta será enviada ao cidadão dentro do prazo"
+        )
+        assert lang == "pt"
+
+    def test_spanish(self):
+        lang, _ = classify(
+            "el gobierno de la ciudad ha publicado un informe sobre la salud "
+            "y la educación para todos los ciudadanos"
+        )
+        assert lang == "es"
+
+    def test_german(self):
+        lang, _ = classify(
+            "die regierung hat einen bericht über die gesundheit und die "
+            "bildung der stadt veröffentlicht und wird ihn prüfen"
+        )
+        assert lang == "de"
+
+    def test_chinese_script(self):
+        lang, score = classify("这是一个关于城市公共交通的报告内容非常详细")
+        assert lang == "zh" and score > 0.9
+
+    def test_empty_und(self):
+        assert classify("") == ("und", 0.0)
+        assert classify("12345 67890 %%%")[0] == "und"
+
+    def test_deterministic(self):
+        text = "the cat sat on the mat with a hat"
+        assert classify(text) == classify(text)
+
+
+class TestQualityFeatures:
+    def test_word_counts(self):
+        f = quality_features("one two three four five six")
+        assert f["n_words"] == 6
+        assert f["alpha_word_frac"] == 1.0
+
+    def test_empty(self):
+        f = quality_features("")
+        assert f["n_words"] == 0 and f["n_chars"] == 0
+
+    def test_repetition_flags(self):
+        spam = "buy now " * 50
+        f = quality_features(spam.strip())
+        assert f["top2gram_frac"] > 0.5
+        assert f["dup5gram_frac"] > 0.5
+
+    def test_natural_text_low_repetition(self):
+        f = quality_features(
+            "the library opens at nine and students read many books about "
+            "history science and the arts until the evening"
+        )
+        assert f["dup5gram_frac"] == 0.0
+
+    def test_symbol_ratio(self):
+        f = quality_features("spam ### text ... with ### symbols ...")
+        assert f["symbol_to_word_ratio"] > 0.3
+
+    def test_dup_lines(self):
+        f = quality_features("same line\nsame line\nsame line\nother")
+        assert f["dup_line_frac"] == 0.5
+
+    def test_rules_keep_clean_doc(self):
+        cfg = QualityConfig()
+        f = quality_features(
+            "people walk along the market street buying bread fruit and "
+            "fresh vegetables from the farmers who arrive early"
+        )
+        keep, reasons = quality_rules(f, lang_score=0.4, perplexity=20.0, cfg=cfg)
+        assert keep and reasons == []
+
+    def test_rules_drop_short(self):
+        cfg = QualityConfig()
+        keep, reasons = quality_rules(
+            quality_features("too short"), 0.5, 20.0, cfg
+        )
+        assert not keep and "too_few_words" in reasons
+
+    def test_rules_drop_repetitive(self):
+        cfg = QualityConfig()
+        keep, reasons = quality_rules(
+            quality_features(("buy now " * 50).strip()), 0.5, 20.0, cfg
+        )
+        assert not keep and "dup_5gram_repetition" in reasons
+
+    def test_rules_drop_high_perplexity(self):
+        cfg = QualityConfig()
+        f = quality_features("normal length document with enough words here")
+        keep, reasons = quality_rules(f, 0.5, 99999.0, cfg)
+        assert not keep and "perplexity" in reasons
+
+
+class TestPerplexity:
+    def test_natural_lower_than_gibberish(self):
+        lm = default_model()
+        natural = lm.score("the people walk along the street in the morning")
+        gibberish = lm.score("qzx jvk wqq pzzkt xjw qqq zzz kkk vvv www qqq")
+        assert natural < gibberish
+
+    def test_empty_zero(self):
+        assert default_model().score("") == 0.0
+
+    def test_deterministic_and_cached(self):
+        a = default_model()
+        b = default_model()
+        assert a is b
+        assert a.score("hello world") == CharLM().score("hello world")
+
+    def test_portuguese_in_domain(self):
+        lm = default_model()
+        pt = lm.score("o cidadão recebeu a resposta dentro do prazo legal")
+        junk = lm.score("ção ção ção xyzzy plugh 0101010101 %%%%% #####")
+        assert pt < junk
+
+
+class TestHtml:
+    def test_roundtrip_byte_identical(self):
+        for text in (
+            "plain body text",
+            "entities < > & preserved",
+            "acentuação é mantida, ① stays raw here",
+            "CPF 123.456.789-00 inside html",
+        ):
+            assert extract_text(wrap_text(text)) == text
+
+    def test_script_and_style_dropped(self):
+        html = (
+            b"<html><head><script>var x=1;</script></head>"
+            b"<body><style>p{}</style><p>keep this</p></body></html>"
+        )
+        assert extract_text(html) == "keep this"
+
+    def test_block_tags_become_newlines(self):
+        html = b"<body><p>one</p><p>two</p></body>"
+        assert extract_text(html) == "one\ntwo"
+
+    def test_empty(self):
+        assert extract_text(b"") == ""
+
+
+class TestTextStats:
+    def test_ws_tokens(self):
+        assert count_ws_tokens("one two  three") == 3
+        assert count_ws_tokens("") == 0
+        assert count_ws_tokens("   ") == 0
+
+    def test_bpe_pieces_ge_words(self):
+        text = "the quick brown fox's 123 jump-start"
+        assert count_bpe_pieces(text) >= count_ws_tokens(text)
+
+    def test_md5_matches_duckdb(self):
+        import duckdb
+
+        text = "hello fingerprint"
+        assert (
+            duckdb.sql(f"SELECT md5('{text}')").fetchone()[0] == md5_hex(text)
+        )
+
+    def test_rolling_hash_deterministic(self):
+        assert rolling_hash("abc") == rolling_hash("abc")
+        assert rolling_hash("abc") != rolling_hash("abd")
+
+    def test_shingles_and_ngrams(self):
+        assert char_shingles("abcdef", 5) == ["abcde", "bcdef"]
+        assert word_ngrams("a b c d", 3) == ["a b c", "b c d"]
+        assert char_shingles("", 5) == []

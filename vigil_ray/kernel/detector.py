@@ -1,0 +1,114 @@
+"""Per-document PII classification: the core map kernel.
+
+Combines the three detection layers in the reference's fixed order — structured
+regex, person names, contextual signals (reference ``src/detector.py:108-145``)
+— and builds the result with its exact semantics
+(``src/detector.py:330-366``):
+
+- only *real* PII types (cpf, email, telefone, rg, nome) set ``contem_pii``;
+  contextual signals are metadata and never flip the label on their own
+  (pinned by reference tests/test_detector.py:176-196);
+- ``tipos_detectados`` dedups preserving first-appearance order;
+- ``confianca`` = max over real PII, rounded to 2 decimals;
+- a poison row degrades to the empty result instead of failing its block
+  (``src/detector.py:378-395``).
+
+Unlike the reference dict-of-tuples, the result here is a flat, Arrow-friendly
+dict (list columns of structs) plus the scrub-span list used to produce
+``text_scrubbed``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from vigil_ray.kernel import patterns
+from vigil_ray.kernel.names import find_names_heuristic
+from vigil_ray.kernel.patterns import Detection
+from vigil_ray.kernel.preprocess import normalize_text
+
+REAL_PII_TYPES = frozenset({"cpf", "email", "telefone", "rg", "nome"})
+CONTEXTUAL_TYPES = frozenset({"contexto_1pessoa", "endereco", "contato"})
+
+
+def empty_result() -> Dict[str, Any]:
+    return {
+        "contem_pii": False,
+        "tipos_detectados": [],
+        "detalhes": [],
+        "sinais_contextuais": [],
+        "confianca": 0.0,
+    }
+
+
+def build_result(found: List[Detection]) -> Dict[str, Any]:
+    """Split real PII from contextual metadata and derive the document label."""
+    if not found:
+        return empty_result()
+    real = [d for d in found if d.tipo in REAL_PII_TYPES]
+    contextual = [d for d in found if d.tipo in CONTEXTUAL_TYPES]
+    if not real:
+        return empty_result()
+    tipos = list(dict.fromkeys(d.tipo for d in real))
+    confianca = max(d.conf for d in real)
+    return {
+        "contem_pii": True,
+        "tipos_detectados": tipos,
+        "detalhes": [d.as_triple() for d in real],
+        "sinais_contextuais": [d.as_triple() for d in contextual],
+        "confianca": round(confianca, 2),
+    }
+
+
+def detect_pii(
+    text: Optional[object],
+    extra_name_detections: Optional[List[Detection]] = None,
+) -> Dict[str, Any]:
+    """Classify one document. ``extra_name_detections`` lets a model-backed
+    name stage (NER actor pool) substitute for the heuristic layer while the
+    result-building semantics stay in one place."""
+    clean = normalize_text(text)
+    if not clean:
+        return empty_result()
+    found: List[Detection] = patterns.find_structured(clean)
+    if extra_name_detections is None:
+        found.extend(find_names_heuristic(clean))
+    else:
+        found.extend(extra_name_detections)
+    found.extend(patterns.find_contextual(clean))
+    return build_result(found)
+
+
+def detect_pii_safe(text: Optional[object]) -> Dict[str, Any]:
+    """Per-row error isolation: a failing row yields the empty result."""
+    try:
+        return detect_pii(text)
+    except Exception:  # noqa: BLE001 — any kernel failure degrades, never raises
+        return empty_result()
+
+
+def scrub_text(clean_text: str, token_template: str = "[{tipo}]") -> str:
+    """Redact every guard-passing PII span (structured + heuristic names).
+
+    Spans are replaced right-to-left so earlier offsets stay valid; overlapping
+    spans are merged keeping the first-reported type. Operates on *normalized*
+    text — the same form detection ran on — so offsets always line up.
+    """
+    if not clean_text:
+        return clean_text
+    spans = patterns.find_scrub_spans(clean_text)
+    spans.extend(find_names_heuristic(clean_text))
+    if not spans:
+        return clean_text
+    # sort by start asc, then longer span first; drop spans nested in a kept one
+    spans.sort(key=lambda d: (d.start, -d.end))
+    kept: List[Detection] = []
+    last_end = -1
+    for d in spans:
+        if d.start >= last_end:
+            kept.append(d)
+            last_end = d.end
+    out = clean_text
+    for d in reversed(kept):
+        out = out[: d.start] + token_template.format(tipo=d.tipo.upper()) + out[d.end :]
+    return out

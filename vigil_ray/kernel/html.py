@@ -1,0 +1,48 @@
+"""Deterministic HTML → text extraction.
+
+The flagship input table carries raw page bytes (``html: binary``) alongside
+the extracted body (``text: string``); the pipeline invariant (BASELINE.md) is
+that extraction is a *pure, version-pinned function* with
+``extract_text(html) == text`` byte-identical per url. This implementation is
+intentionally minimal and fully deterministic: drop script/style/head
+subtrees, strip tags, unescape entities, collapse inter-tag whitespace the
+same way the synthesizer emits it.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+_SCRIPT_STYLE = re.compile(
+    r"<(script|style|head)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_TAG = re.compile(r"<[^>]+>")
+_BLANK_RUNS = re.compile(r"\n{2,}")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Extract the visible text body from page bytes (utf-8, replace errors)."""
+    if not html_bytes:
+        return ""
+    raw = html_bytes.decode("utf-8", errors="replace")
+    raw = _SCRIPT_STYLE.sub(" ", raw)
+    # block-level closers become newlines so paragraphs stay separated
+    raw = re.sub(r"</(p|div|br|li|h[1-6]|tr)\s*>", "\n", raw, flags=re.IGNORECASE)
+    raw = _TAG.sub("", raw)
+    raw = _htmlmod.unescape(raw)
+    lines = [ln.strip() for ln in raw.split("\n")]
+    text = "\n".join(ln for ln in lines if ln)
+    return _BLANK_RUNS.sub("\n", text).strip()
+
+
+def wrap_text(text: str) -> bytes:
+    """Canonical page synthesis: the exact inverse of :func:`extract_text`
+    for entity-escaped single-paragraph bodies. Used by the deterministic
+    pages generator (``vigil_ray.sources.pages``)."""
+    body = _htmlmod.escape(text, quote=False)
+    return (
+        "<html><head><title>doc</title></head><body><p>"
+        + body
+        + "</p></body></html>"
+    ).encode("utf-8")

@@ -1,0 +1,107 @@
+"""Heuristic language identification (fastText-style stand-in).
+
+A deterministic, dependency-free scorer in the spirit of fastText langid
+(Joulin et al. 2016): per-language evidence from (a) stopword hit-rate over
+whitespace tokens and (b) character-class signals (CJK, hiragana/katakana,
+Cyrillic, language-specific diacritics). Supported: en pt es de fr it zh ja ru.
+
+The real model would be hosted exactly the same way — a stateful actor-pool
+``map_batches`` stage with the model loaded once per actor (see
+``vigil_ray.stages.quality``); the scoring function here is the deterministic
+CI substitute, as the reference's own degrade-to-heuristic policy models
+(reference src/detector.py:95-106).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+_WORD = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset(
+        "the of and to in a is that it for on with as are was be this at by an "
+        "from or have not but what all were when we there can more if will one "
+        "you her his they which she do how their has would about".split()
+    ),
+    "pt": frozenset(
+        "de a o que e do da em um para é com não uma os no se na por mais as "
+        "dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos "
+        "já está eu também só pelo pela até isso ela entre era depois sem "
+        "mesmo aos ter seus quem nas me esse eles estão você tinha foram essa "
+        "num nem suas meu às minha têm numa pelos elas havia seja qual será "
+        "nós tenho lhe deles essas esses pelas este fosse dele".split()
+    ),
+    "es": frozenset(
+        "de la que el en y a los del se las por un para con no una su al lo "
+        "como más pero sus le ya o este sí porque esta entre cuando muy sin "
+        "sobre también me hasta hay donde quien desde todo nos durante todos "
+        "uno les ni contra otros ese eso ante ellos e esto mí antes algunos "
+        "qué unos yo otro otras otra él tanto esa estos mucho quienes nada "
+        "muchos cual poco ella estar estas algunas algo nosotros".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf für ist im dem nicht "
+        "ein eine als auch es an werden aus er hat dass sie nach wird bei "
+        "einer um am sind noch wie einem über einen so zum war haben nur oder "
+        "aber vor zur bis mehr durch man sein wurde sei".split()
+    ),
+    "fr": frozenset(
+        "de la le et les des en un du une que est pour qui dans a par plus "
+        "pas au sur ne se ce il sont la avec son être mais comme ou si leur "
+        "y ont ces elle au aux cette ses tout nous sa votre fait été aussi "
+        "bien où sans peut tous après avoir deux même lui".split()
+    ),
+    "it": frozenset(
+        "di e il la che in a per è un non sono con si da come le dei i al "
+        "una del più nel alla lo gli ma se ha anche questo della nella "
+        "questa suo essere hanno loro".split()
+    ),
+}
+
+_CJK = re.compile(r"[一-鿿]")
+_KANA = re.compile(r"[぀-ヿ]")
+_CYRILLIC = re.compile(r"[Ѐ-ӿ]")
+
+
+def classify(text: str) -> Tuple[str, float]:
+    """Return ``(lang_pred, lang_score)``; ``("und", 0.0)`` for empty input.
+
+    Score is in [0,1]: for script-based languages the matching-char fraction,
+    for Latin-script languages the best stopword hit-rate.
+    """
+    if not text:
+        return ("und", 0.0)
+    n_chars = len(text)
+    kana = len(_KANA.findall(text))
+    cjk = len(_CJK.findall(text))
+    cyr = len(_CYRILLIC.findall(text))
+    if kana and (kana + cjk) / n_chars > 0.25:
+        return ("ja", round((kana + cjk) / n_chars, 4))
+    if cjk / n_chars > 0.25:
+        return ("zh", round(cjk / n_chars, 4))
+    if cyr / n_chars > 0.25:
+        return ("ru", round(cyr / n_chars, 4))
+
+    tokens = [t.lower() for t in _WORD.findall(text)]
+    if not tokens:
+        return ("und", 0.0)
+    best_lang, best_hits = "und", 0
+    for lang, stops in STOPWORDS.items():
+        hits = sum(1 for t in tokens if t in stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    score = best_hits / len(tokens)
+    if best_hits == 0:
+        return ("und", 0.0)
+    return (best_lang, round(score, 4))
+
+
+def classify_many(texts: List[str]) -> Tuple[List[str], List[float]]:
+    preds, scores = [], []
+    for t in texts:
+        p, s = classify(t)
+        preds.append(p)
+        scores.append(s)
+    return preds, scores

@@ -1,0 +1,89 @@
+"""Person-name detection: strong-context heuristic (default) + NER helpers.
+
+The heuristic path mirrors reference ``src/detector.py:223-268`` — it is the
+deterministic CI/default mode (the reference itself degrades to it whenever
+transformers is unavailable, src/detector.py:95-106): only names introduced by
+an explicit strong context ("meu nome é ...", "CPF ... ,Name", "cidadão X",
+"servidor X", ...) are accepted, at fixed confidence 0.80, after title-prefix
+cleaning (src/detector.py:270-285) and validity filtering — 2..6 words, not an
+institutional term (src/detector.py:287-321). Repetition in the name grammar
+is bounded {1,5} to keep the regex linear-ish (anti-ReDoS,
+src/detector.py:239).
+
+Chunking for the (optional) NER path keeps the reference's exact scheme
+(src/detector.py:164-179): short texts whole, medium texts split at the
+midpoint, long texts as first 1500 + last 1500 chars (the middle is dropped —
+signatures live at the ends; pinned by reference tests/test_integration.py:257-291).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from vigil_ray.config import NER_MAX_CHARS
+from vigil_ray.kernel.exclusions import is_institutional_name
+from vigil_ray.kernel.patterns import Detection
+
+_NAME_WORD = r"[A-Z][a-záàâãéêíóôõúç]+"
+_FULL_NAME = _NAME_WORD + r"(?:\s+(?:de|da|do|das|dos|e)?\s*" + _NAME_WORD + r"){1,5}"
+
+_STRONG_CONTEXTS = tuple(
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"(?:meu\s+nome\s+(?:é|completo\s+é))[:\s]+(" + _FULL_NAME + r")",
+        r"(?:nome)[:\s]+(" + _FULL_NAME + r")",
+        r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")",
+        r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")",
+        r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)",
+        r"(?:cidadão|cidadã|requerente|solicitante)[:\s]+(" + _FULL_NAME + r")",
+        r"(?:servidor(?:a)?|funcionário(?:a)?)[:\s]+(" + _FULL_NAME + r")",
+    )
+)
+
+_TITLE_PREFIXES = ("Dr", "Dra", "Sr", "Sra", "Prof", "Profa")
+
+
+def clean_name(name: str) -> str:
+    """Strip leading courtesy/title prefixes (Dr/Dra/Sr/Sra/Prof/Profa)."""
+    if not name:
+        return ""
+    for prefix in _TITLE_PREFIXES:
+        if name.startswith(prefix + " ") or name.startswith(prefix + ". "):
+            name = name[len(prefix):].strip(". ")
+    return name.strip()
+
+
+def is_valid_person_name(name: str) -> bool:
+    """2..6 words and not an institutional term."""
+    if not name:
+        return False
+    words = name.strip().split()
+    if len(words) < 2 or len(words) > 6:
+        return False
+    return not is_institutional_name(name.strip())
+
+
+def find_names_heuristic(text: str) -> List[Detection]:
+    """Strong-context name detection @0.80, case-insensitive dedup."""
+    out: List[Detection] = []
+    seen: set = set()
+    for rx in _STRONG_CONTEXTS:
+        for m in rx.finditer(text):
+            name = clean_name(m.group(1).strip())
+            if name and is_valid_person_name(name):
+                key = name.lower()
+                if key not in seen:
+                    out.append(Detection("nome", name, 0.80, m.start(1), m.end(1)))
+                    seen.add(key)
+    return out
+
+
+def split_ner_chunks(text: str, max_length: int = NER_MAX_CHARS) -> List[str]:
+    """Reference chunking for model inference: whole / halves / ends-only."""
+    if len(text) <= max_length:
+        return [text]
+    if len(text) <= max_length * 2:
+        mid = len(text) // 2
+        return [text[:mid], text[mid:]]
+    return [text[:max_length], text[-max_length:]]

@@ -1,0 +1,242 @@
+"""Structured-PII extraction: regex bank + anti-false-positive guards.
+
+Detection semantics are a faithful re-implementation of the reference's
+behavior (reference ``src/patterns.py``, pinned by its ``tests/test_patterns.py``):
+
+- CPF formatted ``XXX.XXX.XXX-XX`` @0.95 and partial ``XXXXXXXXX-XX`` @0.90,
+  deduplicated within a document by digit-normalized value, suppressed when a
+  SEI/NUP/Processo/protocolo marker appears in the window
+  ``text[pos-50 : pos+30]`` (reference src/patterns.py:158-187,256-268).
+- CPF numeric (11 digits) only with an explicit "CPF" prefix, suppressed when a
+  CDA/CNH/NIS/matrícula/RNE/PIS/PASEP marker appears in ``text[pos-30 : pos+15]``
+  (reference src/patterns.py:189-201,270-282). No check-digit validation, by
+  design (reference src/patterns.py:8-9).
+- Email @0.95, no dedup (src/patterns.py:203-208).
+- Phone in four variants tried in a fixed order — parenthesized @0.95,
+  +55 international @0.95, context-prefixed @0.90, bare @0.80 — sharing one
+  digit-normalized dedup set and a >=10-digit floor; the try order decides
+  which surface form survives dedup (src/patterns.py:210-247).
+- RG with explicit "RG" prefix @0.85 (src/patterns.py:249-254).
+- Contextual signals (first-person / address / contact markers) at most one
+  per family, fixed confidences 0.70/0.60/0.65 — metadata only, they never
+  flip the document label (src/patterns.py:284-317).
+
+New relative to the reference: every accepted match also reports its character
+span, so the scrub stage can redact *all* occurrences (including value
+duplicates that dedup removes from the detection list).
+
+This module is import-time compiled: each Ray worker process pays regex
+compilation once, mirroring the reference's compile-in-__init__ policy
+(src/patterns.py:103-123) without per-batch cost.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, NamedTuple, Tuple
+
+
+class Detection(NamedTuple):
+    tipo: str
+    valor: str
+    conf: float
+    start: int
+    end: int
+
+    def as_triple(self) -> Tuple[str, str, float]:
+        """Reference-shaped (tipo, valor, confianca) tuple."""
+        return (self.tipo, self.valor, self.conf)
+
+
+_DIGITS_ONLY = re.compile(r"\D")
+
+# --- structured PII ---------------------------------------------------------
+RX_CPF_FMT = re.compile(r"\d{3}\.\d{3}\.\d{3}-\d{2}")
+RX_CPF_PART = re.compile(r"\b\d{9}-\d{2}\b")
+RX_CPF_NUM = re.compile(r"(?:CPF\s*[:\s]*)\b(\d{11})\b", re.IGNORECASE)
+RX_EMAIL = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", re.IGNORECASE)
+RX_PHONE_PAREN = re.compile(r"\(\d{2}\)\s*\d{4,5}-?\d{4}")
+RX_PHONE_INTL = re.compile(r"\+55\s*\(?\d{2}\)?\s*\d{4,5}[-\s]?\d{4}")
+RX_PHONE_BARE = re.compile(r"\b\d{2}\s+\d{4,5}[-\s]?\d{4}\b")
+RX_PHONE_CTX = re.compile(
+    r"(?:fone|telefone|tel|celular|cel|contato|whatsapp|whats|zap)"
+    r"\s*[:\s]*\(?\d{2}\)?[\s.-]?\d{4,5}[\s.-]?\d{4}",
+    re.IGNORECASE,
+)
+RX_RG = re.compile(r"\bRG[:\s]*[\d.-]+", re.IGNORECASE)
+
+# --- anti-false-positive window guards -------------------------------------
+RX_SEI_GUARDS = tuple(
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"(?:SEI|NUP)\s*(?:nº|n°|n\.?)?\s*[\d./-]+",
+        r"(?:Processo|processo)\s*(?:nº|n°|n\.?)?\s*[\d./-]+",
+        r"protocolo\s*(?:nº|n°|n\.?)?\s*[\d./-]+",
+    )
+)
+RX_NOT_CPF_GUARDS = (
+    re.compile(
+        r"(?:CDA|CNH|NIS|matrícula|RNE|PIS|PASEP)\s*(?:nº|n°|n\.?)?\s*[:\s]*\d{11}",
+        re.IGNORECASE,
+    ),
+)
+
+# --- contextual-signal families (metadata only) -----------------------------
+_CTX_FAMILIES = (
+    (
+        "contexto_1pessoa",
+        "marcador_primeira_pessoa",
+        0.70,
+        tuple(
+            re.compile(p, re.IGNORECASE)
+            for p in (
+                r"(?:meu|minha)\s+(?:CPF|nome|RG|telefone|email|e-mail|celular|endereço)",
+                r"(?:sou|chamo-me|nome\s+é)\s+[A-Z][a-záàâãéêíóôõúç]+\s+[A-Z]",
+            )
+        ),
+    ),
+    (
+        "endereco",
+        "marcador_endereco",
+        0.60,
+        tuple(
+            re.compile(p, re.IGNORECASE)
+            for p in (
+                r"(?:moro|resido|residente)\s+(?:na?|em)",
+                r"(?:rua|avenida|quadra|conjunto|bloco|lote|apartamento|apt\.?)\s+",
+                r"CEP[:\s]*\d{5}-?\d{3}",
+            )
+        ),
+    ),
+    (
+        "contato",
+        "marcador_contato",
+        0.65,
+        tuple(
+            re.compile(p, re.IGNORECASE)
+            for p in (
+                r"(?:contato|WhatsApp|whatsapp|Whats|zap)\s*[:\s]*\(?\d",
+                r"(?:fone|telefone|cel|celular)\s*[:\s]*\(?\d",
+            )
+        ),
+    ),
+)
+
+
+def _in_sei_window(text: str, pos: int) -> bool:
+    window = text[max(0, pos - 50) : pos + 30]
+    return any(g.search(window) for g in RX_SEI_GUARDS)
+
+
+def _in_not_cpf_window(text: str, pos: int) -> bool:
+    window = text[max(0, pos - 30) : pos + 15]
+    return any(g.search(window) for g in RX_NOT_CPF_GUARDS)
+
+
+def find_cpf(text: str) -> List[Detection]:
+    """Formatted + partial + context-numeric CPF with guards and dedup."""
+    out: List[Detection] = []
+    seen: set = set()
+    for rx, conf in ((RX_CPF_FMT, 0.95), (RX_CPF_PART, 0.90)):
+        for m in rx.finditer(text):
+            key = _DIGITS_ONLY.sub("", m.group())
+            if key in seen or _in_sei_window(text, m.start()):
+                continue
+            out.append(Detection("cpf", m.group(), conf, m.start(), m.end()))
+            seen.add(key)
+    for m in RX_CPF_NUM.finditer(text):
+        if _in_not_cpf_window(text, m.start()):
+            continue
+        out.append(Detection("cpf", m.group(1), 0.90, m.start(1), m.end(1)))
+    return out
+
+
+def find_email(text: str) -> List[Detection]:
+    return [
+        Detection("email", m.group(), 0.95, m.start(), m.end())
+        for m in RX_EMAIL.finditer(text)
+    ]
+
+
+def find_phone(text: str) -> List[Detection]:
+    """Four phone variants sharing one dedup set; >=10 digits required."""
+    out: List[Detection] = []
+    seen: set = set()
+    for rx, conf in (
+        (RX_PHONE_PAREN, 0.95),
+        (RX_PHONE_INTL, 0.95),
+        (RX_PHONE_CTX, 0.90),
+        (RX_PHONE_BARE, 0.80),
+    ):
+        for m in rx.finditer(text):
+            digits = _DIGITS_ONLY.sub("", m.group())
+            if len(digits) < 10 or digits in seen:
+                continue
+            out.append(Detection("telefone", m.group(), conf, m.start(), m.end()))
+            seen.add(digits)
+    return out
+
+
+def find_rg(text: str) -> List[Detection]:
+    return [
+        Detection("rg", m.group(), 0.85, m.start(), m.end())
+        for m in RX_RG.finditer(text)
+    ]
+
+
+def find_structured(text: str) -> List[Detection]:
+    """All structured PII, in the reference's fixed layer order
+    (cpf -> email -> phone -> rg; reference src/patterns.py:125-156)."""
+    if not text:
+        return []
+    out = find_cpf(text)
+    out.extend(find_email(text))
+    out.extend(find_phone(text))
+    out.extend(find_rg(text))
+    return out
+
+
+def find_scrub_spans(text: str) -> List[Detection]:
+    """Every guard-passing PII match *including value duplicates* — the
+    redaction set. Dedup in :func:`find_structured` affects reporting only;
+    a value repeated in two formats must still be masked at both spans.
+    """
+    if not text:
+        return []
+    spans: List[Detection] = []
+    for rx, tipo, conf in (
+        (RX_CPF_FMT, "cpf", 0.95),
+        (RX_CPF_PART, "cpf", 0.90),
+    ):
+        for m in rx.finditer(text):
+            if not _in_sei_window(text, m.start()):
+                spans.append(Detection(tipo, m.group(), conf, m.start(), m.end()))
+    for m in RX_CPF_NUM.finditer(text):
+        if not _in_not_cpf_window(text, m.start()):
+            spans.append(Detection("cpf", m.group(1), 0.90, m.start(1), m.end(1)))
+    spans.extend(find_email(text))
+    for rx, conf in (
+        (RX_PHONE_PAREN, 0.95),
+        (RX_PHONE_INTL, 0.95),
+        (RX_PHONE_CTX, 0.90),
+        (RX_PHONE_BARE, 0.80),
+    ):
+        for m in rx.finditer(text):
+            if len(_DIGITS_ONLY.sub("", m.group())) >= 10:
+                spans.append(Detection("telefone", m.group(), conf, m.start(), m.end()))
+    spans.extend(find_rg(text))
+    return spans
+
+
+def find_contextual(text: str) -> List[Detection]:
+    """At most one signal per family; fixed label + confidence per family."""
+    if not text:
+        return []
+    out: List[Detection] = []
+    for tipo, label, conf, guards in _CTX_FAMILIES:
+        for g in guards:
+            m = g.search(text)
+            if m:
+                out.append(Detection(tipo, label, conf, m.start(), m.end()))
+                break
+    return out

@@ -1,0 +1,154 @@
+"""Gopher/C4-style heuristic quality features and keep/drop rules.
+
+Feature definitions follow the published rules (Gopher: Rae et al. 2021,
+appx. A1; C4: Raffel et al. 2020 §2.2) — document length in words, mean word
+length, symbol-to-word ratio (hash marks and ellipses), alphabetic-word
+fraction, duplicate-line fraction, and intra-document n-gram repetition
+(top-2/3-gram char fraction, duplicated-5-gram char fraction). The reference
+engine has no corpus-level dedup (SURVEY.md §2.7) — repetition scoring here is
+per-document, so it stays a stateless ``map_batches`` member of the flagship
+pipeline with no shuffle.
+
+All features are plain floats so the rule gate is reproducible and cheap to
+evaluate both here and in an SQL oracle (where expressible).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Any, Dict, List, Tuple
+
+from vigil_ray.config import QualityConfig
+
+_WS = re.compile(r"\s+")
+_ALPHA = re.compile(r"[^\W\d_]", re.UNICODE)
+_SYMBOL = re.compile(r"#|\.\.\.|…")
+
+# C4-style minimal English/Portuguese stopword probe
+_STOP_PROBE = frozenset(
+    "the and of to a in is that de a o que e do da em um para com not".split()
+)
+
+
+def quality_features(text: str) -> Dict[str, Any]:
+    """Numeric quality profile of one document."""
+    if not text or not text.strip():
+        return {
+            "n_chars": 0,
+            "n_words": 0,
+            "mean_word_len": 0.0,
+            "symbol_to_word_ratio": 0.0,
+            "alpha_word_frac": 0.0,
+            "dup_line_frac": 0.0,
+            "top2gram_frac": 0.0,
+            "top3gram_frac": 0.0,
+            "dup5gram_frac": 0.0,
+            "has_stopword": False,
+        }
+    words = _WS.split(text.strip())
+    n_words = len(words)
+    total_word_chars = sum(len(w) for w in words)
+    n_symbols = len(_SYMBOL.findall(text))
+    n_alpha_words = sum(1 for w in words if _ALPHA.search(w))
+
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    dup_line_frac = 0.0
+    if len(lines) > 1:
+        line_counts = Counter(lines)
+        dup_lines = sum(c - 1 for c in line_counts.values() if c > 1)
+        dup_line_frac = dup_lines / len(lines)
+
+    lowered = [w.lower() for w in words]
+    return {
+        "n_chars": len(text),
+        "n_words": n_words,
+        "mean_word_len": round(total_word_chars / n_words, 6) if n_words else 0.0,
+        "symbol_to_word_ratio": round(n_symbols / n_words, 6) if n_words else 0.0,
+        "alpha_word_frac": round(n_alpha_words / n_words, 6) if n_words else 0.0,
+        "dup_line_frac": round(dup_line_frac, 6),
+        "top2gram_frac": _top_ngram_char_frac(lowered, 2),
+        "top3gram_frac": _top_ngram_char_frac(lowered, 3),
+        "dup5gram_frac": _dup_ngram_char_frac(lowered, 5),
+        "has_stopword": any(w in _STOP_PROBE for w in lowered),
+    }
+
+
+def _ngrams(words: List[str], n: int) -> List[Tuple[str, ...]]:
+    return [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def _top_ngram_char_frac(words: List[str], n: int) -> float:
+    """Chars covered by the single most common word n-gram / total word chars
+    (Gopher's "fraction of characters in most common n-gram")."""
+    if len(words) < n:
+        return 0.0
+    total_chars = sum(len(w) for w in words)
+    if total_chars == 0:
+        return 0.0
+    grams = Counter(_ngrams(words, n))
+    gram, count = grams.most_common(1)[0]
+    if count <= 1:
+        return 0.0
+    return round(count * sum(len(w) for w in gram) / total_chars, 6)
+
+
+def _dup_ngram_char_frac(words: List[str], n: int) -> float:
+    """Chars inside word n-grams that occur more than once / total word chars
+    (Gopher's "fraction of characters in duplicated n-grams"), counting each
+    word position at most once via span marking."""
+    if len(words) < n:
+        return 0.0
+    total_chars = sum(len(w) for w in words)
+    if total_chars == 0:
+        return 0.0
+    grams = _ngrams(words, n)
+    counts = Counter(grams)
+    covered = [False] * len(words)
+    for i, g in enumerate(grams):
+        if counts[g] > 1:
+            for j in range(i, i + n):
+                covered[j] = True
+    dup_chars = sum(len(w) for w, c in zip(words, covered) if c)
+    return round(dup_chars / total_chars, 6)
+
+
+def quality_rules(
+    feats: Dict[str, Any],
+    lang_score: float,
+    perplexity: float,
+    cfg: QualityConfig,
+) -> Tuple[bool, List[str]]:
+    """Evaluate the rule gate → ``(keep, drop_reasons)``.
+
+    Reasons use stable snake_case names so downstream per-reason stats
+    aggregate cleanly.
+    """
+    reasons: List[str] = []
+    if feats["n_words"] < cfg.min_words:
+        reasons.append("too_few_words")
+    if feats["n_words"] > cfg.max_words:
+        reasons.append("too_many_words")
+    if feats["n_words"] and not (
+        cfg.min_mean_word_len <= feats["mean_word_len"] <= cfg.max_mean_word_len
+    ):
+        reasons.append("mean_word_length")
+    if feats["symbol_to_word_ratio"] > cfg.max_symbol_to_word_ratio:
+        reasons.append("symbol_ratio")
+    if feats["n_words"] and feats["alpha_word_frac"] < cfg.min_alpha_word_frac:
+        reasons.append("alpha_word_frac")
+    if feats["dup_line_frac"] > cfg.max_dup_line_frac:
+        reasons.append("dup_lines")
+    if feats["top2gram_frac"] > cfg.max_top2gram_frac:
+        reasons.append("top_2gram_repetition")
+    if feats["top3gram_frac"] > cfg.max_top3gram_frac:
+        reasons.append("top_3gram_repetition")
+    if feats["dup5gram_frac"] > cfg.max_dup5gram_frac:
+        reasons.append("dup_5gram_repetition")
+    if lang_score < cfg.min_lang_score:
+        reasons.append("lang_score")
+    if perplexity > cfg.max_perplexity:
+        reasons.append("perplexity")
+    if cfg.require_stopword and not feats["has_stopword"]:
+        reasons.append("no_stopword")
+    return (not reasons, reasons)
