@@ -54,7 +54,9 @@ class QualityConfig:
     max_top2gram_frac: float = 0.20         # chars in most common 2-gram / total
     max_top3gram_frac: float = 0.18
     max_dup5gram_frac: float = 0.15         # chars in duplicated 5-grams / total
-    min_lang_score: float = 0.15            # language-ID confidence floor
+    min_lang_score: float = 0.0             # language-ID confidence floor
+                                            # (0 = disabled; CCNet-style web
+                                            # deployments would set ~0.3)
     max_perplexity: float = 1_500.0         # char-LM perplexity ceiling
     require_stopword: bool = False          # C4-style "has >=1 stopword"
 

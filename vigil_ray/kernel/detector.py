@@ -30,6 +30,24 @@ from vigil_ray.kernel.preprocess import normalize_text
 REAL_PII_TYPES = frozenset({"cpf", "email", "telefone", "rg", "nome"})
 CONTEXTUAL_TYPES = frozenset({"contexto_1pessoa", "endereco", "contato"})
 
+# Conservative candidate prefilter: every real-PII pattern needs a digit, an
+# '@', or a strong name-context keyword. Includes pre-NFKC digit lookalikes
+# (fullwidth ０-９, circled ①-⑳, super/subscripts) so normalization cannot
+# surface a digit the prefilter missed. Rows failing this cannot produce a
+# non-empty result, so hot batches skip the ~40-regex cascade entirely.
+import re as _re
+
+_CANDIDATE = _re.compile(
+    r"[\d@①-⓿０-９²³¹⁰-⁹₀-₉]"
+    r"|nome|chamo|cidad|requerente|solicitante|servidor|funcion",
+    _re.IGNORECASE,
+)
+
+
+def could_have_pii(raw_text: str) -> bool:
+    """False ⇒ :func:`detect_pii` provably returns the empty result."""
+    return bool(raw_text) and _CANDIDATE.search(raw_text) is not None
+
 
 def empty_result() -> Dict[str, Any]:
     return {

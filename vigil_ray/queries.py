@@ -1,0 +1,385 @@
+"""Driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Each entry is one operator/pipeline from SURVEY.md §2 (or a north-rule
+capability) expressed Ray-Data-first, with an ANSI-SQL equivalent the driver
+runs on the same parquet tables. Column names match exactly between the two
+sides (the driver hashes values after sorting columns by name).
+
+Two oracle styles are used:
+
+- *independent recomputation* — the SQL computes the same function (counts,
+  groupbys, windows, md5 fingerprints, token counts);
+- *by construction* — for detection/scrub semantics the SQL derives the
+  expected answer from the deterministic pages-synthesis arithmetic
+  (``vigil_ray.sources.pages``: family = doc_id mod 17), not by re-running
+  regexes. This checks the whole Ray pipeline against ground truth.
+
+Callables never call ``ray.init``/``ray.shutdown`` (driver owns the session).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+
+from vigil_ray.config import PipelineConfig
+
+# pages families with real PII (sources/pages.py FAMILIES table)
+PII_FAMILIES = (0, 1, 2, 3, 5, 7, 8, 13, 14)
+DROP_FAMILIES = (10, 11, 12)
+
+# SQL fragment: the scrubbed suffix each family appends (by construction,
+# mirrors kernel scrub semantics over sources/pages.py FAMILIES — see
+# tests/test_queries_oracle.py for the cross-check).
+_SCRUB_SUFFIX_CASE = """
+CASE doc_id % 17
+  WHEN 0 THEN ' Atenção. Meu CPF é [CPF] para contato.'
+  WHEN 1 THEN ' Contato: [EMAIL] obrigado.'
+  WHEN 2 THEN ' [TELEFONE] ligar à tarde.'
+  WHEN 3 THEN ' Documento [RG] anexado.'
+  WHEN 4 THEN ' Conforme processo SEI 00015-12345678/2026-01 informado.'
+  WHEN 5 THEN ' meu nome é [NOME], atenciosamente.'
+  WHEN 6 THEN ' CDA n. 08563214753 sobre o imóvel.'
+  WHEN 7 THEN ' Registro. CPF: [CPF] ok. Obrigado.'
+  WHEN 8 THEN ' documento [CPF] e de novo [CPF] anexo.'
+  WHEN 9 THEN ' Moro na Quadra 302 Norte, CEP: 70000-000.'
+  WHEN 11 THEN ' ' || repeat('buy now ', 60)
+  WHEN 12 THEN ' ' || repeat('### ... ', 20)
+  WHEN 13 THEN ' [TELEFONE] após as 18h.'
+  WHEN 14 THEN ' [TELEFONE] e email [EMAIL] juntos.'
+  WHEN 15 THEN ' Nis: 98765432165 para consulta.'
+  ELSE ''
+END
+"""
+
+_URL_EXPR = "'https://example.test/doc/' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _pages_ds(sf_dir: str):
+    import ray.data as rd
+
+    from vigil_ray.sources.pages import synthesize_pages
+
+    return rd.from_arrow(synthesize_pages(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# individual queries
+# --------------------------------------------------------------------------
+
+def q_lang_doc_counts(sf_dir: str):
+    """A2-style per-key counts with partial pre-aggregation."""
+    from vigil_ray.stages.aggregates import lang_counts
+
+    return lang_counts(_docs(sf_dir, ["lang"]), column="lang")
+
+
+def q_doc_token_counts(sf_dir: str):
+    from vigil_ray.kernel.textstats import count_ws_tokens
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        n = [count_ws_tokens(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_tokens, batch_format="pyarrow"
+    )
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from vigil_ray.kernel.textstats import md5_hex
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fp": pa.array(hashes, pa.string())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup keep-first: content-hash partition → min(doc_id) per group.
+    The shuffle moves (fp, doc_id) pairs, never document bodies."""
+    from ray.data.aggregate import Min
+
+    ds = q_doc_fingerprints(sf_dir)
+    kept = ds.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return kept.select_columns(["doc_id"])
+
+
+def q_doc_quality_stats(sf_dir: str):
+    """SQL-expressible subset of the Gopher features, over raw documents."""
+    from vigil_ray.kernel.quality import quality_features
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [quality_features(t or "") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+                "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+                "mean_word_len": pa.array(
+                    [r["mean_word_len"] for r in rows], pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
+
+
+def q_top10_longest_docs(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped op as
+    groupby over a derived window key; SURVEY.md §2.8)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("window_start", win)
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    return ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def q_events_user_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+
+def q_pages_pii_labels(sf_dir: str):
+    """Flagship detection labels; ground truth by synthesis arithmetic."""
+    from vigil_ray.stages.detect import detect_stage
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+    return ds.select_columns(["url", "contem_pii"])
+
+
+def q_pages_scrubbed(sf_dir: str):
+    """Byte-exact scrubbed text vs the SQL-constructed expectation."""
+    from vigil_ray.stages.detect import detect_stage
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+    return ds.select_columns(["url", "text_scrubbed"])
+
+
+def q_pages_summary(sf_dir: str):
+    """A1 global stats as one aggregated row."""
+    from vigil_ray.stages.detect import detect_stage
+    from vigil_ray.stages.aggregates import summary_stats
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+    stats = summary_stats(ds)
+    return pa.table(
+        {
+            "total": pa.array([stats["total"]], pa.int64()),
+            "com_pii": pa.array([stats["com_pii"]], pa.int64()),
+        }
+    )
+
+
+def q_pages_type_counts(sf_dir: str):
+    """A2: exploded per-type detection counts."""
+    from vigil_ray.stages.aggregates import pii_type_counts
+    from vigil_ray.stages.detect import detect_stage
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+    return pii_type_counts(ds)
+
+
+def q_eval_confusion(sf_dir: str):
+    """A3/J3: detection joined against by-construction truth → confusion row.
+    Truth is broadcast-free: both sides derive from the same key arithmetic
+    inside the batch (the reference's evaluate join, reference
+    scripts/evaluate.py:258-261, collapses to a key-local compare here)."""
+    from vigil_ray.sources.pages import expected_has_pii
+    from vigil_ray.stages.aggregates import classification_metrics
+    from vigil_ray.stages.detect import detect_stage
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+
+    def with_truth(batch: pa.Table) -> pa.Table:
+        ks = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        truth = [expected_has_pii(k) for k in ks]
+        return batch.append_column("truth", pa.array(truth, pa.bool_()))
+
+    joined = ds.map_batches(with_truth, batch_format="pyarrow")
+    m = classification_metrics(joined, "truth", "contem_pii")
+    return pa.table(
+        {
+            "total": pa.array([m["total"]], pa.int64()),
+            "tp": pa.array([m["tp"]], pa.int64()),
+            "tn": pa.array([m["tn"]], pa.int64()),
+            "fp": pa.array([m["fp"]], pa.int64()),
+            "fn": pa.array([m["fn"]], pa.int64()),
+        }
+    )
+
+
+def q_ann_cosine_top10(sf_dir: str):
+    """Brute-force cosine top-k: query vector broadcast once (``ray.put``),
+    per-batch numpy matmul, per-batch top-k then global top-k."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # deterministic query vector: the vec_id == 0 embedding
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    idx = emb.column("vec_id").to_pylist().index(0)
+    qvec = np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+    qref = ray.put(qvec / np.linalg.norm(qvec))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat @ q) / norms
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        top = np.argsort(-cos)[:10]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "cos": pa.array(cos[top], pa.float64()),
+            }
+        )
+
+    per_batch = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return per_batch.sort(["cos", "vec_id"], descending=[True, False]).limit(10).select_columns(["vec_id"])
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> Dict[str, Callable]:
+    return {
+        "lang_doc_counts": q_lang_doc_counts,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "doc_quality_stats": q_doc_quality_stats,
+        "top10_longest_docs": q_top10_longest_docs,
+        "events_hourly": q_events_hourly,
+        "events_user_stats": q_events_user_stats,
+        "pages_pii_labels": q_pages_pii_labels,
+        "pages_scrubbed": q_pages_scrubbed,
+        "pages_summary": q_pages_summary,
+        "pages_type_counts": q_pages_type_counts,
+        "eval_confusion": q_eval_confusion,
+        "ann_cosine_top10": q_ann_cosine_top10,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    pii_set = ", ".join(str(f) for f in PII_FAMILIES)
+    return {
+        "lang_doc_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "doc_token_counts": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "doc_quality_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "array_length(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_word_len "
+            "FROM documents WHERE trim(text) <> ''"
+        ),
+        "top10_longest_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_user_stats": (
+            "SELECT user_id, count(*) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value, min(ts) AS first_ts, max(ts) AS last_ts "
+            "FROM events GROUP BY user_id"
+        ),
+        "pages_pii_labels": (
+            f"SELECT {_URL_EXPR} AS url, "
+            f"(doc_id % 17) IN ({pii_set}) AS contem_pii FROM documents"
+        ),
+        "pages_scrubbed": (
+            f"SELECT {_URL_EXPR} AS url, "
+            f"CASE WHEN doc_id % 17 = 10 THEN "
+            "array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ') "
+            f"ELSE trim(text || {_SCRUB_SUFFIX_CASE}) END AS text_scrubbed "
+            "FROM documents"
+        ),
+        "pages_summary": (
+            "SELECT count(*) AS total, "
+            f"sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS com_pii "
+            "FROM documents"
+        ),
+        "pages_type_counts": (
+            "WITH fam AS (SELECT doc_id % 17 AS f FROM documents), "
+            "m AS ( "
+            "  SELECT f, unnest(CASE "
+            "    WHEN f IN (0, 7, 8) THEN ['cpf'] "
+            "    WHEN f = 1 THEN ['email'] "
+            "    WHEN f IN (2, 13) THEN ['telefone'] "
+            "    WHEN f = 3 THEN ['rg'] "
+            "    WHEN f = 5 THEN ['nome'] "
+            "    WHEN f = 14 THEN ['telefone', 'email'] "
+            "    ELSE [] END) AS tipo FROM fam) "
+            "SELECT tipo, count(*) AS n FROM m GROUP BY tipo"
+        ),
+        "eval_confusion": (
+            "SELECT count(*) AS total, "
+            f"sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS tp, "
+            f"sum(CASE WHEN (doc_id % 17) NOT IN ({pii_set}) THEN 1 ELSE 0 END) AS tn, "
+            "0 AS fp, 0 AS fn FROM documents"
+        ),
+        "ann_cosine_top10": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id "
+            "LIMIT 10"
+        ),
+    }

@@ -1,0 +1,125 @@
+"""Deterministic Common-Crawl-style pages table (the BASELINE input shape).
+
+Synthesizes the flagship input ``(url:string, warc_ts:timestamp[us],
+html:binary, text:string, lang:string)`` from the driver's ``documents``
+table, injecting PII / anti-FP / quality-drop families keyed purely on the row
+index so expected outcomes are known *by construction* (FIXTURES.md): a SQL
+oracle can compute ground-truth labels with ``k % 17`` arithmetic, no regex.
+
+Determinism: row ``k`` (``doc_id * multiplier + replica``) fully determines
+url, timestamp, injected suffix, html and text. No RNG anywhere.
+
+The html column is the canonical ``wrap_text`` envelope, so
+``extract_text(html) == text`` byte-identical per url (the BASELINE invariant).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from vigil_ray.kernel.html import wrap_text
+
+N_FAMILIES = 17
+
+# family id → (suffix template, has_pii, quality_drop)
+# Templates may use {k}. Families chosen to exercise every detection layer,
+# every anti-FP guard, and the Gopher-style quality rules.
+FAMILIES = {
+    # NOTE: templates are punctuated so the (deliberately loose,
+    # reference-faithful) name-next-to-CPF grammar cannot capture preceding
+    # base words — expected type sets stay exact by construction.
+    0: (" Atenção. Meu CPF é 123.456.789-00 para contato.", True, False),
+    1: (" Contato: user{k}@example.test obrigado.", True, False),
+    2: (" Telefone: (61) 99999-8888 ligar à tarde.", True, False),
+    3: (" Documento RG: 12.345.678-9 anexado.", True, False),
+    4: (" Conforme processo SEI 00015-12345678/2026-01 informado.", False, False),
+    5: (" meu nome é João da Silva Pereira, atenciosamente.", True, False),
+    6: (" CDA n. 08563214753 sobre o imóvel.", False, False),
+    7: (" Registro. CPF: 12345678908 ok. Obrigado.", True, False),
+    8: (" documento 123456789-00 e de novo 123456789-00 anexo.", True, False),
+    9: (" Moro na Quadra 302 Norte, CEP: 70000-000.", False, False),
+    10: ("", False, True),   # truncated to 3 words → too_few_words
+    11: (" " + "buy now " * 60, False, True),  # n-gram repetition
+    12: (" " + "### ... " * 20, False, True),  # symbol ratio
+    13: (" whatsapp: 61 99999 8888 após as 18h.", True, False),
+    14: (" +55 11 98888-7777 e email ana{k}@mail.test juntos.", True, False),
+    15: (" Nis: 98765432165 para consulta.", False, False),
+    16: ("", False, False),  # clean
+}
+
+_EPOCH = datetime(2026, 1, 1)
+
+
+def synthesize_pages(
+    sf_dir: str,
+    multiplier: int = 1,
+    out_path: Optional[str] = None,
+) -> pa.Table:
+    """Build the pages table from ``{sf_dir}/documents.parquet``.
+
+    ``multiplier`` replicates each base document with distinct row keys and
+    distinct e-mail local parts — the scale amplifier for benchmarks (the base
+    documents tables are only 500–5000 rows). Writing to ``out_path`` is
+    idempotent: if the file already exists it is returned as-is (cheap reruns,
+    and the SQL oracle can read the same file).
+    """
+    if out_path and os.path.exists(out_path):
+        return pq.read_table(out_path)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    n = len(doc_ids)
+
+    urls, tss, htmls, bodies, out_langs = [], [], [], [], []
+    for r in range(multiplier):
+        for i in range(n):
+            k = doc_ids[i] * multiplier + r
+            body = _page_text(texts[i], k)
+            urls.append(f"https://example.test/doc/{k:09d}")
+            tss.append(_EPOCH + timedelta(seconds=k))
+            htmls.append(wrap_text(body))
+            bodies.append(body)
+            out_langs.append(langs[i])
+
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(bodies, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+    if out_path:
+        tmp = out_path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, out_path)
+    return table
+
+
+def _page_text(base: str, k: int) -> str:
+    fam = k % N_FAMILIES
+    suffix, _, _ = FAMILIES[fam]
+    if fam == 10:
+        return " ".join(base.split()[:3])
+    return (base + suffix.format(k=k)).strip()
+
+
+def family_of(k: int) -> int:
+    return k % N_FAMILIES
+
+
+def expected_has_pii(k: int) -> bool:
+    return FAMILIES[k % N_FAMILIES][1]
+
+
+def expected_quality_drop(k: int) -> bool:
+    return FAMILIES[k % N_FAMILIES][2]
