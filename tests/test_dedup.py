@@ -1,0 +1,149 @@
+"""Dedup operator tests: kernel invariants + Ray-stage results on the
+deterministic variants corpus."""
+
+import pytest
+
+from vigil_ray.sources.pages import (
+    EXACT_COPY_OFFSET,
+    NEAR_COPY_OFFSET,
+    synthesize_variants,
+)
+from vigil_ray.stages.dedup import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestKernels:
+    def test_minhash_identical_texts_equal_signatures(self):
+        a = minhash_signature("the quick brown fox jumps over the lazy dog")
+        b = minhash_signature("the quick brown fox jumps over the lazy dog")
+        assert (a == b).all()
+
+    def test_minhash_similarity_estimate(self):
+        base = "one two three four five six seven eight nine ten eleven twelve"
+        near = base + " thirteen"
+        a, b = minhash_signature(base), minhash_signature(near)
+        est = (a == b).mean()
+        true = jaccard(base, near)
+        assert abs(est - true) < 0.2
+
+    def test_simhash_identical_and_disjoint(self):
+        t = "alpha beta gamma delta epsilon"
+        assert simhash64(t) == simhash64(t)
+        far = simhash64("zulu yankee xray whiskey victor uniform tango sierra")
+        assert hamming64(simhash64(t), far) > 10
+
+    def test_jaccard_bounds(self):
+        assert jaccard("a b c d", "a b c d") == 1.0
+        assert jaccard("a b c d", "x y z w") == 0.0
+        assert jaccard("", "") == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStages:
+    @pytest.fixture(scope="class")
+    def variants(self):
+        t = synthesize_variants(SF)
+        ids = t.column("vid").to_pylist()
+        return t, ids
+
+    def test_minhash_lsh_includes_constructed_pairs(self, variants):
+        import ray.data as rd
+
+        from vigil_ray.stages.dedup import minhash_lsh_pairs
+
+        table, ids = variants
+        out = minhash_lsh_pairs(rd.from_arrow(table), threshold=0.5).to_pandas()
+        pairs = set(zip(out["a"], out["b"]))
+        base = [v for v in ids if v < EXACT_COPY_OFFSET]
+        for d in base:
+            if d % 7 == 3:
+                assert (d, d + EXACT_COPY_OFFSET) in pairs
+            if d % 5 == 0:
+                assert (d, d + NEAR_COPY_OFFSET) in pairs
+        # all emitted pairs truly exceed the threshold
+        texts = dict(zip(ids, table.column("text").to_pylist()))
+        for a, b in pairs:
+            assert jaccard(texts[a], texts[b]) >= 0.5
+
+    def test_simhash_pairs_include_exact_copies(self, variants):
+        import ray.data as rd
+
+        from vigil_ray.stages.dedup import simhash_pairs
+
+        table, ids = variants
+        out = simhash_pairs(rd.from_arrow(table), max_distance=3).to_pandas()
+        pairs = set(zip(out["a"], out["b"]))
+        base = [v for v in ids if v < EXACT_COPY_OFFSET]
+        for d in base:
+            if d % 7 == 3:
+                assert (d, d + EXACT_COPY_OFFSET) in pairs
+        # every emitted pair really is within the distance bound
+        texts = dict(zip(ids, table.column("text").to_pylist()))
+        for a, b in pairs:
+            assert hamming64(simhash64(texts[a]), simhash64(texts[b])) <= 3
+
+    def test_embedding_pairs_symmetric_free_and_thresholded(self, variants):
+        import numpy as np
+
+        from vigil_ray.sources.readers import read_table
+        from vigil_ray.stages.dedup import embedding_pairs
+
+        ds = read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        out = embedding_pairs(ds, threshold=0.45).to_pandas()
+        assert (out["a"] < out["b"]).all()
+        pdf = ds.to_pandas()
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        idx = {v: i for i, v in enumerate(pdf["vec_id"])}
+        for a, b in zip(out["a"], out["b"]):
+            assert float(mat[idx[a]] @ mat[idx[b]]) >= 0.45
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_semantics():
+    import pandas as pd
+    import ray.data as rd
+
+    from vigil_ray.stages.sessions import sessionize
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 10:00",
+            "2026-01-01 10:10",   # same session
+            "2026-01-01 11:00",   # 50-min gap → new session
+            "2026-01-01 11:29",   # 29 min → same
+            "2026-01-02 00:00",   # new session
+        ]
+    )
+    df = pd.DataFrame({"user_id": [1] * 5, "ts": ts})
+    out = sessionize(rd.from_pandas(df), gap_minutes=30).to_pandas()
+    assert out.iloc[0]["n_sessions"] == 3
+    assert out.iloc[0]["n_events"] == 5
+    assert out.iloc[0]["max_session_events"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_payload_stage():
+    import ray.data as rd
+
+    from vigil_ray.sources.pages import synthesize_pages
+    from vigil_ray.stages.multimodal import fake_decode_meta, payload_stage, decode_image
+
+    pages = synthesize_pages(SF)
+    out = payload_stage(rd.from_arrow(pages), batch_size=64, concurrency=2).to_pandas()
+    assert len(out) == pages.num_rows
+    assert (out["n_bytes"] > 0).all()
+    assert out["payload_md5"].str.len().eq(32).all()
+    assert out["width"].between(16, 255).all()
+    # fake decode is deterministic
+    payload = pages.column("html")[0].as_py()
+    assert fake_decode_meta(payload) == fake_decode_meta(payload)
+    # the real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_image(payload)

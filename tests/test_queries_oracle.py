@@ -82,4 +82,5 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(queries()) - set(oracle_sql())
     # non-SQL-expressible ops are allowed to be oracle-free, but keep the
     # list explicit so additions are deliberate
-    assert missing <= set(), f"queries without oracle SQL: {missing}"
+    allowed_oracle_free = {"dedup_simhash_pairs"}
+    assert missing <= allowed_oracle_free, f"queries without oracle SQL: {missing}"

@@ -93,6 +93,11 @@ def detect_pii(
         found.extend(find_names_heuristic(clean))
     else:
         found.extend(extra_name_detections)
+    # contextual signals are metadata-only: build_result drops them unless a
+    # real PII detection exists, so skipping the scan on clean rows is an
+    # exact-semantics short-circuit
+    if not found:
+        return empty_result()
     found.extend(patterns.find_contextual(clean))
     return build_result(found)
 

@@ -28,16 +28,24 @@ from vigil_ray.kernel.patterns import Detection
 _NAME_WORD = r"[A-Z][a-záàâãéêíóôõúç]+"
 _FULL_NAME = _NAME_WORD + r"(?:\s+(?:de|da|do|das|dos|e)?\s*" + _NAME_WORD + r"){1,5}"
 
+# Each grammar is paired with a cheap literal pre-gate: the grammar can only
+# match when its anchor keyword occurs, and scanning a plain alternation of
+# literals is ~100× cheaper than the bounded name chain with IGNORECASE
+# backtracking (rx 4 alone costs ~540 µs/doc ungated). Pure optimization —
+# the gate never changes which documents match.
 _STRONG_CONTEXTS = tuple(
-    re.compile(p, re.IGNORECASE)
-    for p in (
-        r"(?:meu\s+nome\s+(?:é|completo\s+é))[:\s]+(" + _FULL_NAME + r")",
-        r"(?:nome)[:\s]+(" + _FULL_NAME + r")",
-        r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")",
-        r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")",
-        r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)",
-        r"(?:cidadão|cidadã|requerente|solicitante)[:\s]+(" + _FULL_NAME + r")",
-        r"(?:servidor(?:a)?|funcionário(?:a)?)[:\s]+(" + _FULL_NAME + r")",
+    (re.compile(gate, re.IGNORECASE), re.compile(p, re.IGNORECASE))
+    for gate, p in (
+        (r"meu\s+nome",
+         r"(?:meu\s+nome\s+(?:é|completo\s+é))[:\s]+(" + _FULL_NAME + r")"),
+        (r"nome", r"(?:nome)[:\s]+(" + _FULL_NAME + r")"),
+        (r"chamo", r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")"),
+        (r"CPF", r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")"),
+        (r"CPF|portador", r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)"),
+        (r"cidad|requerente|solicitante",
+         r"(?:cidadão|cidadã|requerente|solicitante)[:\s]+(" + _FULL_NAME + r")"),
+        (r"servidor|funcion",
+         r"(?:servidor(?:a)?|funcionário(?:a)?)[:\s]+(" + _FULL_NAME + r")"),
     )
 )
 
@@ -68,7 +76,9 @@ def find_names_heuristic(text: str) -> List[Detection]:
     """Strong-context name detection @0.80, case-insensitive dedup."""
     out: List[Detection] = []
     seen: set = set()
-    for rx in _STRONG_CONTEXTS:
+    for gate, rx in _STRONG_CONTEXTS:
+        if not gate.search(text):
+            continue
         for m in rx.finditer(text):
             name = clean_name(m.group(1).strip())
             if name and is_valid_person_name(name):

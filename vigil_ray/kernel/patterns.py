@@ -82,11 +82,15 @@ RX_NOT_CPF_GUARDS = (
 )
 
 # --- contextual-signal families (metadata only) -----------------------------
+# Each family carries a literal pre-gate (first tuple slot after conf): the
+# family regexes can only match when one of the anchor literals occurs, and
+# the literal scan is far cheaper. Never changes which documents match.
 _CTX_FAMILIES = (
     (
         "contexto_1pessoa",
         "marcador_primeira_pessoa",
         0.70,
+        re.compile(r"meu|minha|sou|chamo|nome", re.IGNORECASE),
         tuple(
             re.compile(p, re.IGNORECASE)
             for p in (
@@ -99,6 +103,11 @@ _CTX_FAMILIES = (
         "endereco",
         "marcador_endereco",
         0.60,
+        re.compile(
+            r"moro|resido|residente|rua|avenida|quadra|conjunto|bloco|lote"
+            r"|apartamento|apt|CEP",
+            re.IGNORECASE,
+        ),
         tuple(
             re.compile(p, re.IGNORECASE)
             for p in (
@@ -112,6 +121,7 @@ _CTX_FAMILIES = (
         "contato",
         "marcador_contato",
         0.65,
+        re.compile(r"contato|whats|zap|fone|telefone|cel", re.IGNORECASE),
         tuple(
             re.compile(p, re.IGNORECASE)
             for p in (
@@ -233,7 +243,9 @@ def find_contextual(text: str) -> List[Detection]:
     if not text:
         return []
     out: List[Detection] = []
-    for tipo, label, conf, guards in _CTX_FAMILIES:
+    for tipo, label, conf, gate, guards in _CTX_FAMILIES:
+        if not gate.search(text):
+            continue
         for g in guards:
             m = g.search(text)
             if m:

@@ -65,6 +65,10 @@ class CharLM:
         self._vocab = set(text)
         self._vsize = max(len(self._vocab), 1)
         self._unigram_total = sum(self._grams[0].values())
+        # (context+char) → log-prob memo: natural text reuses 4-grams heavily,
+        # so scoring amortizes to ~1 dict hit per char. Capped to bound memory.
+        self._memo: Dict[str, float] = {}
+        self._memo_cap = 1_000_000
 
     def _prob(self, context: str, ch: str) -> float:
         p = 0.0
@@ -91,9 +95,16 @@ class CharLM:
         seq = pad + norm
         log_sum = 0.0
         count = 0
+        memo = self._memo
+        log = math.log
         for i in range(self.order - 1, len(seq)):
-            context = seq[i - self.order + 1 : i]
-            log_sum += math.log(self._prob(context, seq[i]))
+            gram = seq[i - self.order + 1 : i + 1]
+            lp = memo.get(gram)
+            if lp is None:
+                lp = log(self._prob(gram[:-1], gram[-1]))
+                if len(memo) < self._memo_cap:
+                    memo[gram] = lp
+            log_sum += lp
             count += 1
         return round(math.exp(-log_sum / count), 4)
 

@@ -57,9 +57,9 @@ _URL_EXPR = "'https://example.test/doc/' || lpad(CAST(doc_id AS VARCHAR), 9, '0'
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from vigil_ray.sources.readers import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _pages_ds(sf_dir: str):
@@ -149,10 +149,11 @@ def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type (streaming-shaped op as
     groupby over a derived window key; SURVEY.md §2.8)."""
     import pyarrow.compute as pc
-    import ray.data as rd
     from ray.data.aggregate import Count, Min, Max
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -167,10 +168,11 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_events_user_stats(sf_dir: str):
-    import ray.data as rd
     from ray.data.aggregate import Count, Max, Min
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     return ds.groupby("user_id").aggregate(
         Count(alias_name="n_events"),
         Min("value", alias_name="min_value"),
@@ -254,9 +256,10 @@ def q_ann_cosine_top10(sf_dir: str):
     per-batch numpy matmul, per-batch top-k then global top-k."""
     import numpy as np
     import ray
-    import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet")
     # deterministic query vector: the vec_id == 0 embedding
     import pyarrow.parquet as pq
 
@@ -286,6 +289,258 @@ def q_ann_cosine_top10(sf_dir: str):
     return per_batch.sort(["cos", "vec_id"], descending=[True, False]).limit(10).select_columns(["vec_id"])
 
 
+def _variants_ds(sf_dir: str):
+    import ray.data as rd
+
+    from vigil_ray.sources.pages import synthesize_variants
+
+    return rd.from_arrow(synthesize_variants(sf_dir))
+
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs (3-gram Jaccard ≥ 0.5) over the variants
+    corpus; the oracle recomputes true Jaccard with a shingle self-join."""
+    from vigil_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_variants_ds(sf_dir), threshold=0.5)
+
+
+def q_dedup_ngram_pairs(sf_dir: str):
+    """Exact word-2-gram Jaccard pairs ≥ 0.7, blockwise-broadcast scan."""
+    import ray
+
+    from vigil_ray.kernel.textstats import word_ngrams
+
+    ds = _variants_ds(sf_dir)
+    pdf = ds.to_pandas()
+    shingles = {v: frozenset(word_ngrams(t, 2)) for v, t in zip(pdf["vid"], pdf["text"])}
+    ref = ray.put(shingles)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        all_sh = ray.get(ref)
+        items = sorted(all_sh.items())
+        keep_a, keep_b = [], []
+        for vid in batch.column("vid").to_pylist():
+            sa = all_sh[vid]
+            for other, sb in items:
+                if other <= vid:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if union and inter / union >= 0.7:
+                    keep_a.append(vid)
+                    keep_b.append(other)
+        return pa.table(
+            {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=512)
+
+
+def q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash Hamming≤3 candidate pairs (probabilistic sketch — rows-only
+    driver check; behavior pinned in tests/test_dedup.py)."""
+    from vigil_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_variants_ds(sf_dir), max_distance=3)
+
+
+def q_dedup_embedding_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45), exact blockwise scan."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.dedup import embedding_pairs
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_pairs(ds, threshold=0.45)
+
+
+def q_events_sessions(sf_dir: str):
+    """30-min-gap sessionization per user (groupby → ordered map_groups)."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sessions import sessionize
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(ds, gap_minutes=30)
+
+
+def q_multimodal_payload_meta(sf_dir: str):
+    """Binary-payload metadata via the actor-pool multimodal stage. Only the
+    SQL-recomputable columns are exposed to the oracle (byte length + md5);
+    the fake-decode columns are pinned in tests/test_multimodal.py."""
+    from vigil_ray.stages.multimodal import payload_stage
+
+    out = payload_stage(_pages_ds(sf_dir), payload_col="html", key_col="url")
+    return out.select_columns(["url", "n_bytes", "payload_md5"])
+
+
+def q_orders_per_nation(sf_dir: str):
+    """J3/J4-style join re-expressed for scale: the small sides (customer,
+    nation) are broadcast once via ``ray.put`` and the fact table streams
+    through a map-side hash join — no shuffle of orders rows."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    nation_map = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    ref = ray.put((cust_map, nation_map))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap, nmap = ray.get(ref)
+        counts: dict = {}
+        sums: dict = {}
+        for ck, price in zip(
+            batch.column("o_custkey").to_pylist(),
+            batch.column("o_totalprice").to_pylist(),
+        ):
+            name = nmap.get(cmap.get(ck))
+            counts[name] = counts.get(name, 0) + 1
+            sums[name] = sums.get(name, 0.0) + price
+        names = sorted(counts)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "n_partial": pa.array([counts[n] for n in names], pa.int64()),
+                "sum_partial": pa.array([sums[n] for n in names], pa.float64()),
+            }
+        )
+
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_partial", alias_name="n_orders"),
+            Sum("sum_partial", alias_name="total_price_sum"),
+        )
+    )
+
+    def round_sum(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("total_price_sum"),
+            "total_price_sum",
+            pc.round(batch.column("total_price_sum"), ndigits=2),
+        )
+
+    return agg.map_batches(round_sum, batch_format="pyarrow")
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary (A1-analog generic aggregate)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n_rows"),
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_price"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.round(batch.column(col), ndigits=2),
+            )
+        return batch
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+# SQL CTE reconstructing the variants corpus by construction
+_VARIANTS_CTE = """
+variants AS (
+  SELECT doc_id AS vid, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS vid, text FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS vid, text || ' extra' AS text FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _jaccard_pairs_sql(ngram: int, threshold: float) -> str:
+    """True word-n-gram Jaccard pairs over the variants corpus (independent
+    recomputation of the dedup operators' semantics in SQL)."""
+    concat = " || ' ' || ".join(f"w[i+{j}]" for j in range(ngram))
+    return f"""
+WITH {_VARIANTS_CTE},
+toks AS (
+  SELECT vid, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM variants
+),
+grams AS (
+  SELECT DISTINCT vid, {concat} AS g
+  FROM toks, LATERAL unnest(range(1, len(w) - {ngram - 2})) AS t(i)
+),
+sizes AS (SELECT vid, count(*) AS sz FROM grams GROUP BY vid),
+inter AS (
+  SELECT ga.vid AS a, gb.vid AS b, count(*) AS n
+  FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.vid < gb.vid
+  GROUP BY ga.vid, gb.vid
+)
+SELECT i.a, i.b
+FROM inter i
+JOIN sizes sa ON i.a = sa.vid
+JOIN sizes sb ON i.b = sb.vid
+WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {threshold}
+"""
+
+
+# SQL fragment: the full (unscrubbed) page text per family, for payload
+# reconstruction oracles. Mirrors sources/pages.py _page_text.
+_PAGE_TEXT_EXPR = """
+CASE WHEN doc_id % 17 = 10 THEN
+  array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ')
+ELSE trim(text ||
+  CASE doc_id % 17
+    WHEN 0 THEN ' Atenção. Meu CPF é 123.456.789-00 para contato.'
+    WHEN 1 THEN ' Contato: user' || CAST(doc_id AS VARCHAR) || '@example.test obrigado.'
+    WHEN 2 THEN ' Telefone: (61) 99999-8888 ligar à tarde.'
+    WHEN 3 THEN ' Documento RG: 12.345.678-9 anexado.'
+    WHEN 4 THEN ' Conforme processo SEI 00015-12345678/2026-01 informado.'
+    WHEN 5 THEN ' meu nome é João da Silva Pereira, atenciosamente.'
+    WHEN 6 THEN ' CDA n. 08563214753 sobre o imóvel.'
+    WHEN 7 THEN ' Registro. CPF: 12345678908 ok. Obrigado.'
+    WHEN 8 THEN ' documento 123456789-00 e de novo 123456789-00 anexo.'
+    WHEN 9 THEN ' Moro na Quadra 302 Norte, CEP: 70000-000.'
+    WHEN 11 THEN ' ' || repeat('buy now ', 60)
+    WHEN 12 THEN ' ' || repeat('### ... ', 20)
+    WHEN 13 THEN ' whatsapp: 61 99999 8888 após as 18h.'
+    WHEN 14 THEN ' +55 11 98888-7777 e email ana' || CAST(doc_id AS VARCHAR) || '@mail.test juntos.'
+    WHEN 15 THEN ' Nis: 98765432165 para consulta.'
+    ELSE ''
+  END)
+END
+"""
+
+_HTML_EXPR = (
+    "'<html><head><title>doc</title></head><body><p>' || "
+    "replace(replace(replace((" + _PAGE_TEXT_EXPR + "), '&', '&amp;'), "
+    "'<', '&lt;'), '>', '&gt;') || '</p></body></html>'"
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -306,6 +561,14 @@ def queries() -> Dict[str, Callable]:
         "pages_type_counts": q_pages_type_counts,
         "eval_confusion": q_eval_confusion,
         "ann_cosine_top10": q_ann_cosine_top10,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "events_sessions": q_events_sessions,
+        "multimodal_payload_meta": q_multimodal_payload_meta,
+        "orders_per_nation": q_orders_per_nation,
+        "lineitem_pricing": q_lineitem_pricing,
     }
 
 
@@ -381,5 +644,45 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id "
             "LIMIT 10"
+        ),
+        "dedup_minhash_pairs": _jaccard_pairs_sql(3, 0.5),
+        "dedup_ngram_pairs": _jaccard_pairs_sql(2, 0.7),
+        # dedup_simhash_pairs: probabilistic sketch — deliberately rows-only
+        "dedup_embedding_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "events_sessions": (
+            "WITH flagged AS ( "
+            "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts) ), "
+            "sessions AS ( "
+            "  SELECT user_id, ts, sum(new_s) OVER "
+            "    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "  FROM flagged ), "
+            "per_session AS ( "
+            "  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid) "
+            "SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events, "
+            "max(n) AS max_session_events FROM per_session GROUP BY user_id"
+        ),
+        "multimodal_payload_meta": (
+            f"SELECT {_URL_EXPR} AS url, "
+            f"octet_length(encode({_HTML_EXPR})) AS n_bytes, "
+            f"md5({_HTML_EXPR}) AS payload_md5 "
+            "FROM documents"
+        ),
+        "orders_per_nation": (
+            "SELECT n.n_name, count(*) AS n_orders, "
+            "round(sum(o.o_totalprice), 2) AS total_price_sum "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
     }

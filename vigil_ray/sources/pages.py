@@ -113,6 +113,49 @@ def _page_text(base: str, k: int) -> str:
     return (base + suffix.format(k=k)).strip()
 
 
+# variants corpus: near/exact duplicate construction offsets
+EXACT_COPY_OFFSET = 1_000_000   # doc_id % 7 == 3 → identical copy
+NEAR_COPY_OFFSET = 2_000_000    # doc_id % 5 == 0 → one word appended
+
+
+def synthesize_variants(sf_dir: str) -> pa.Table:
+    """Documents corpus augmented with deterministic duplicates, for the
+    near-dup operators (MinHash-LSH, SimHash, n-gram Jaccard):
+
+    - every base doc appears as ``vid = doc_id``;
+    - docs with ``doc_id % 7 == 3`` get an *exact* copy at
+      ``vid = doc_id + EXACT_COPY_OFFSET``;
+    - docs with ``doc_id % 5 == 0`` get a *near* copy (one word appended) at
+      ``vid = doc_id + NEAR_COPY_OFFSET``.
+
+    Base docs are ≥10 words, so the near copy's 3-word-shingle Jaccard is
+    ≥ (S-2)/(S+1) with S ≥ 8 → ≥ 0.66; unrelated random docs stay ≪ 0.1.
+    A 0.5 threshold therefore separates constructed pairs from noise with a
+    wide margin, and the expected pair set is pure doc_id arithmetic — the
+    SQL oracle needs no MinHash.
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    vids = list(ids)
+    out_texts = list(texts)
+    for i, t in zip(ids, texts):
+        if i % 7 == 3:
+            vids.append(i + EXACT_COPY_OFFSET)
+            out_texts.append(t)
+        if i % 5 == 0:
+            vids.append(i + NEAR_COPY_OFFSET)
+            out_texts.append(t + " extra")
+    return pa.table(
+        {
+            "vid": pa.array(vids, pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )
+
+
 def family_of(k: int) -> int:
     return k % N_FAMILIES
 

@@ -83,6 +83,9 @@ class PiiDetectScrub:
                     continue
                 found = patterns.find_structured(clean)
                 found.extend(find_names_heuristic(clean))
+                if not found:
+                    scrubbed[i] = clean
+                    continue
                 found.extend(patterns.find_contextual(clean))
                 res = build_result(found)
                 contem[i] = res["contem_pii"]

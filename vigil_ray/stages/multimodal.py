@@ -1,0 +1,86 @@
+"""Multimodal (binary-payload) stages: metadata, decode, feature-extract.
+
+Binary media columns (image/audio/video) are opaque ``binary`` Arrow columns
+with typed metadata travelling beside them. The Ray-side plumbing here is
+real — schema, actor-pool hosting, batch sizing for large payloads — while
+the decode itself is STUBBED: the image/audio codec libraries are not in this
+container, so ``decode_image`` raises ``NotImplementedError`` unless the
+deterministic fake decoder is selected (the default for tests/benchmarks).
+
+Batch-size guidance: payload bytes × batch_size × concurrency must fit the
+worker heap — for multi-MB media, ``batch_size`` of 8-64, not thousands
+(BASELINE.md memory rule). Payload columns should be dropped as soon as the
+features are extracted so the big bytes never cross a shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import pyarrow as pa
+
+from vigil_ray.kernel.textstats import md5_hex
+
+
+def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
+    """Real decoder entry point (PIL/libjpeg): NOT available in this
+    environment. The actor below uses the deterministic fake instead."""
+    raise NotImplementedError(
+        "image codecs are not installed in this container; "
+        "use fake_decode_meta (deterministic) or install PIL at deployment"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> dict:
+    """Deterministic stand-in for decode: derives plausible media metadata
+    purely from the bytes (stable across runs/processes)."""
+    digest = hashlib.blake2b(payload, digest_size=8).digest()
+    return {
+        "width": 16 + digest[0] % 240,
+        "height": 16 + digest[1] % 240,
+        "channels": 1 + digest[2] % 3,
+    }
+
+
+class PayloadFeatures:
+    """Actor-pool kernel: binary column → typed metadata columns.
+
+    A real model/codec would load in ``__init__`` (once per actor); the batch
+    path is identical either way.
+    """
+
+    def __init__(self, payload_col: str = "html", key_col: str = "url"):
+        self.payload_col = payload_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        keys = batch.column(self.key_col)
+        n_bytes = [len(p or b"") for p in payloads]
+        md5s = [md5_hex((p or b"").decode("utf-8", errors="replace")) for p in payloads]
+        metas = [fake_decode_meta(p or b"") for p in payloads]
+        return pa.table(
+            {
+                self.key_col: keys,
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "payload_md5": pa.array(md5s, pa.string()),
+                "width": pa.array([m["width"] for m in metas], pa.int32()),
+                "height": pa.array([m["height"] for m in metas], pa.int32()),
+                "channels": pa.array([m["channels"] for m in metas], pa.int32()),
+            }
+        )
+
+
+def payload_stage(ds, payload_col: str = "html", key_col: str = "url",
+                  batch_size: int = 64, concurrency=(1, 4)):
+    """Actor-pool metadata extraction over a binary column; small batches by
+    design (payload-heavy rows)."""
+    return ds.map_batches(
+        PayloadFeatures,
+        fn_constructor_kwargs={"payload_col": payload_col, "key_col": key_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
