@@ -170,6 +170,52 @@ class TestDetector:
         assert detect_pii(text) == detect_pii(text)
 
 
+class TestAnalyzeDocument:
+    """The fused hot-path form must equal the layered reference form."""
+
+    CASES = [
+        "CPF 123.456.789-00 email a@b.com fim",
+        "CPF 111.222.333-44 e de novo 111.222.333-44",
+        "meu nome é João da Silva Pereira, obrigado",
+        "texto limpo sem nenhum dado pessoal",
+        "Processo SEI 00015-12345678/2026-01 em andamento",
+        "whatsapp: 61 99999 8888 após as 18h",
+        "Telefone: (61) 99999-8888 e RG: 12.345.678-9",
+        "Moro na Quadra 302 Norte, CEP: 70000-000",
+        "CPF: １２３.４５６.７８９-００",
+        "",
+        None,
+        "Conforme SEI 00015-01009853/2026-01, solicito",
+        "requerente: João Silva Santos, CPF 123.456.789-00, RG 1234567, "
+        "email joao@mail.com, tel (61) 99999-8888",
+    ]
+
+    def test_equals_layered_form(self):
+        from vigil_ray.kernel.detector import analyze_document
+        from vigil_ray.kernel.preprocess import normalize_text
+
+        for text in self.CASES:
+            res, scrub = analyze_document(text)
+            expected = detect_pii(text)
+            assert res == expected, text
+            clean = normalize_text(text)
+            expected_scrub = scrub_text(clean) if expected["contem_pii"] else clean
+            assert scrub == expected_scrub, text
+
+    def test_equals_on_pages_corpus(self):
+        from vigil_ray.kernel.detector import analyze_document
+        from vigil_ray.kernel.preprocess import normalize_text
+        from vigil_ray.sources.pages import synthesize_pages
+
+        pages = synthesize_pages("/root/testdata/sf0.001")
+        for text in pages.column("text").to_pylist():
+            res, scrub = analyze_document(text)
+            expected = detect_pii(text)
+            assert res == expected
+            clean = normalize_text(text)
+            assert scrub == (scrub_text(clean) if expected["contem_pii"] else clean)
+
+
 class TestScrub:
     def test_scrub_cpf_email(self):
         out = scrub_text("CPF 123.456.789-00 email a@b.com fim")

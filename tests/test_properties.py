@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): kernel invariants under arbitrary text."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vigil_ray.kernel.detector import (
+    analyze_document,
+    could_have_pii,
+    detect_pii,
+    scrub_text,
+)
+from vigil_ray.kernel.preprocess import normalize_text
+from vigil_ray.kernel.quality import quality_features
+from vigil_ray.kernel.textstats import count_ws_tokens
+
+TEXTISH = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTISH)
+def test_prefilter_is_conservative(text):
+    """could_have_pii(normalized)=False ⇒ detect_pii is provably empty."""
+    clean = normalize_text(text)
+    if clean and not could_have_pii(clean):
+        res = detect_pii(text)
+        assert res["contem_pii"] is False
+        assert res["tipos_detectados"] == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_analyze_equals_layered(text):
+    res, scrub = analyze_document(text)
+    expected = detect_pii(text)
+    assert res == expected
+    clean = normalize_text(text)
+    assert scrub == (scrub_text(clean) if expected["contem_pii"] else clean)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_normalize_idempotent(text):
+    once = normalize_text(text)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_quality_features_bounded(text):
+    f = quality_features(text)
+    for key in (
+        "symbol_to_word_ratio",
+        "alpha_word_frac",
+        "dup_line_frac",
+        "top2gram_frac",
+        "top3gram_frac",
+        "dup5gram_frac",
+    ):
+        assert f[key] >= 0.0
+    for key in ("alpha_word_frac", "dup_line_frac", "top2gram_frac",
+                "top3gram_frac", "dup5gram_frac"):
+        assert f[key] <= 1.0
+    assert f["n_words"] == count_ws_tokens(text.strip() if text else "")
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTISH)
+def test_scrub_deterministic_and_detection_free(text):
+    clean = normalize_text(text)
+    a, b = scrub_text(clean), scrub_text(clean)
+    assert a == b
+    # structured PII never survives scrubbing
+    from vigil_ray.kernel.patterns import find_scrub_spans
+
+    for d in find_scrub_spans(a):
+        # any remaining span must come from the placeholder text itself
+        assert "[" in a or d.valor not in clean

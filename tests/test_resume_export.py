@@ -1,0 +1,126 @@
+"""Resumable partitioned runs (lineage manifest) and the export sinks."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumable:
+    @pytest.fixture()
+    def sharded_input(self, tmp_path):
+        """Split the documents table into 3 input shard files."""
+        t = pq.read_table(f"{SF}/documents.parquet")
+        paths = []
+        n = t.num_rows
+        for i in range(3):
+            part = t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3)
+            p = str(tmp_path / f"shard_{i}.parquet")
+            pq.write_table(part, p)
+            paths.append(p)
+        return paths
+
+    def _pipeline(self, ds):
+        import pyarrow.compute as pc
+
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "n_chars2", pc.multiply(b.column("n_chars"), 2)
+            ),
+            batch_format="pyarrow",
+        )
+
+    def test_run_skip_and_invalidate(self, sharded_input, tmp_path):
+        from vigil_ray.pipelines.manifest import load_manifest, run_resumable
+
+        out_dir = str(tmp_path / "out")
+        stats = run_resumable(sharded_input, out_dir, self._pipeline)
+        assert stats == {"ran": 3, "skipped": 0, "total": 3}
+        manifest = load_manifest(out_dir)
+        assert len(manifest) == 3
+        assert all(e["rows_in"] == e["rows_out"] for e in manifest.values())
+
+        # second run: everything skipped
+        stats2 = run_resumable(sharded_input, out_dir, self._pipeline)
+        assert stats2 == {"ran": 0, "skipped": 3, "total": 3}
+
+        # delete one shard's output → only it re-runs
+        victim = next(iter(manifest.values()))
+        shutil.rmtree(victim["output_dir"])
+        stats3 = run_resumable(sharded_input, out_dir, self._pipeline)
+        assert stats3 == {"ran": 1, "skipped": 2, "total": 3}
+
+        # outputs complete and correct
+        total = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for d in (e["output_dir"] for e in load_manifest(out_dir).values())
+            for f in os.listdir(d)
+        )
+        assert total == pq.read_metadata(f"{SF}/documents.parquet").num_rows
+
+    def test_input_change_invalidates(self, sharded_input, tmp_path):
+        from vigil_ray.pipelines.manifest import run_resumable
+
+        out_dir = str(tmp_path / "out2")
+        run_resumable(sharded_input, out_dir, self._pipeline)
+        # touch one input with different content → fingerprint changes
+        t = pq.read_table(sharded_input[0])
+        pq.write_table(t.slice(0, max(1, t.num_rows - 5)), sharded_input[0])
+        os.utime(sharded_input[0], (1, 1))
+        stats = run_resumable(sharded_input, out_dir, self._pipeline)
+        assert stats["ran"] == 1 and stats["skipped"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExport:
+    def test_write_results_and_envelope(self, tmp_path):
+        import ray.data as rd
+
+        from vigil_ray.config import PipelineConfig
+        from vigil_ray.pipelines.export import write_results
+        from vigil_ray.sources.pages import synthesize_pages
+        from vigil_ray.stages.detect import detect_stage
+
+        ds = detect_stage(rd.from_arrow(synthesize_pages(SF)), PipelineConfig())
+        out_dir = str(tmp_path / "results")
+        summary = str(tmp_path / "summary.json")
+        envelope = write_results(
+            ds, out_dir, fmt="parquet", input_path="sf0.001", summary_path=summary
+        )
+        assert envelope["metadata"]["total_registros"] == 500
+        assert envelope["metadata"]["total_com_pii"] > 0
+        assert set(envelope["estatisticas"]["por_tipo"]) == {
+            "cpf", "email", "telefone", "rg", "nome",
+        }
+        on_disk = json.load(open(summary))
+        assert on_disk == envelope
+        back = pq.read_table(out_dir)
+        assert back.num_rows == 500
+
+    def test_review_csv_roundtrip(self, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from vigil_ray.config import PipelineConfig
+        from vigil_ray.pipelines.export import write_review
+        from vigil_ray.sources.pages import synthesize_pages
+        from vigil_ray.stages.detect import detect_stage
+        from vigil_ray.stages.review import review_stage
+
+        ds = detect_stage(rd.from_arrow(synthesize_pages(SF)), PipelineConfig())
+        review = review_stage(ds, PipelineConfig(), sort=True)
+        out_dir = str(tmp_path / "review")
+        write_review(review, out_dir, fmt="csv")
+        frames = [
+            pd.read_csv(os.path.join(out_dir, f)) for f in sorted(os.listdir(out_dir))
+        ]
+        back = pd.concat(frames, ignore_index=True)
+        assert len(back) > 0
+        # sorted by priority rank: alta(0) ≤ media(1) ≤ baixa(2)
+        assert back["prioridade_rank"].is_monotonic_increasing

@@ -71,6 +71,11 @@ class PipelineConfig:
     ner_model: str = DEFAULT_NER_MODEL
     enable_review: bool = True
     scrub_token: str = "[{tipo}]"    # template for redacted spans
+    emit_details: bool = True        # detalhes/sinais list-of-struct columns
+                                     # (False skips building them — the label,
+                                     # types, confidence and scrub are
+                                     # unchanged; saves allocation on runs
+                                     # that would drop the columns anyway)
     review: ReviewConfig = field(default_factory=ReviewConfig)
     quality: QualityConfig = field(default_factory=QualityConfig)
 

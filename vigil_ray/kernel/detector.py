@@ -20,7 +20,7 @@ dict (list columns of structs) plus the scrub-span list used to produce
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from vigil_ray.kernel import patterns
 from vigil_ray.kernel.names import find_names_heuristic
@@ -110,21 +110,28 @@ def detect_pii_safe(text: Optional[object]) -> Dict[str, Any]:
         return empty_result()
 
 
-def scrub_text(clean_text: str, token_template: str = "[{tipo}]") -> str:
+def scrub_text(
+    clean_text: str,
+    token_template: str = "[{tipo}]",
+    spans: Optional[List[Detection]] = None,
+) -> str:
     """Redact every guard-passing PII span (structured + heuristic names).
 
     Spans are replaced right-to-left so earlier offsets stay valid; overlapping
     spans are merged keeping the first-reported type. Operates on *normalized*
     text — the same form detection ran on — so offsets always line up.
+    Pass precomputed ``spans`` (structured scrub spans + name detections) to
+    skip the rescan; semantics are identical.
     """
     if not clean_text:
         return clean_text
-    spans = patterns.find_scrub_spans(clean_text)
-    spans.extend(find_names_heuristic(clean_text))
+    if spans is None:
+        spans = patterns.find_scrub_spans(clean_text)
+        spans.extend(find_names_heuristic(clean_text))
     if not spans:
         return clean_text
     # sort by start asc, then longer span first; drop spans nested in a kept one
-    spans.sort(key=lambda d: (d.start, -d.end))
+    spans = sorted(spans, key=lambda d: (d.start, -d.end))
     kept: List[Detection] = []
     last_end = -1
     for d in spans:
@@ -135,3 +142,30 @@ def scrub_text(clean_text: str, token_template: str = "[{tipo}]") -> str:
     for d in reversed(kept):
         out = out[: d.start] + token_template.format(tipo=d.tipo.upper()) + out[d.end :]
     return out
+
+
+def analyze_document(
+    raw_text: Optional[object], token_template: str = "[{tipo}]"
+) -> Tuple[Dict[str, Any], str]:
+    """Hot-path form: one normalization, one structured scan, one name scan →
+    ``(detection result, scrubbed text)``. Equivalent to
+    ``(detect_pii(t), scrub_text(normalize_text(t)))`` — pinned by
+    tests/test_kernel.py::TestAnalyzeDocument — but without re-running the
+    regex banks for the scrub pass.
+    """
+    clean = normalize_text(raw_text)
+    if not clean:
+        return empty_result(), clean
+    if not could_have_pii(clean):
+        # normalized text already carries any NFKC-surfaced digits
+        return empty_result(), clean
+    detections, spans = patterns.scan_document(clean)
+    names = find_names_heuristic(clean)
+    found = detections + names
+    if not found:
+        return empty_result(), clean
+    found.extend(patterns.find_contextual(clean))
+    result = build_result(found)
+    if not result["contem_pii"]:
+        return result, clean
+    return result, scrub_text(clean, token_template, spans=spans + names)

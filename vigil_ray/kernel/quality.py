@@ -46,18 +46,22 @@ def quality_features(text: str) -> Dict[str, Any]:
             "dup5gram_frac": 0.0,
             "has_stopword": False,
         }
-    words = _WS.split(text.strip())
+    # str.split() == regex \s+ split of the stripped text, in C
+    words = text.split()
     n_words = len(words)
-    total_word_chars = sum(len(w) for w in words)
-    n_symbols = len(_SYMBOL.findall(text))
+    word_lens = [len(w) for w in words]
+    total_word_chars = sum(word_lens)
+    # non-overlapping counts equal the regex scan: '#' is never part of '...'
+    n_symbols = text.count("#") + text.count("...") + text.count("…")
     n_alpha_words = sum(1 for w in words if _ALPHA.search(w))
 
-    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
     dup_line_frac = 0.0
-    if len(lines) > 1:
-        line_counts = Counter(lines)
-        dup_lines = sum(c - 1 for c in line_counts.values() if c > 1)
-        dup_line_frac = dup_lines / len(lines)
+    if "\n" in text:
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        if len(lines) > 1:
+            line_counts = Counter(lines)
+            dup_lines = sum(c - 1 for c in line_counts.values() if c > 1)
+            dup_line_frac = dup_lines / len(lines)
 
     lowered = [w.lower() for w in words]
     return {
@@ -67,23 +71,27 @@ def quality_features(text: str) -> Dict[str, Any]:
         "symbol_to_word_ratio": round(n_symbols / n_words, 6) if n_words else 0.0,
         "alpha_word_frac": round(n_alpha_words / n_words, 6) if n_words else 0.0,
         "dup_line_frac": round(dup_line_frac, 6),
-        "top2gram_frac": _top_ngram_char_frac(lowered, 2),
-        "top3gram_frac": _top_ngram_char_frac(lowered, 3),
-        "dup5gram_frac": _dup_ngram_char_frac(lowered, 5),
-        "has_stopword": any(w in _STOP_PROBE for w in lowered),
+        "top2gram_frac": _top_ngram_char_frac(lowered, 2, word_lens, total_word_chars),
+        "top3gram_frac": _top_ngram_char_frac(lowered, 3, word_lens, total_word_chars),
+        "dup5gram_frac": _dup_ngram_char_frac(lowered, 5, word_lens, total_word_chars),
+        "has_stopword": not _STOP_PROBE.isdisjoint(lowered),
     }
 
 
 def _ngrams(words: List[str], n: int) -> List[Tuple[str, ...]]:
-    return [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+    # zip-of-shifts builds tuples in C
+    return list(zip(*(words[i:] for i in range(n))))
 
 
-def _top_ngram_char_frac(words: List[str], n: int) -> float:
+def _top_ngram_char_frac(
+    words: List[str], n: int, word_lens=None, total_chars=None
+) -> float:
     """Chars covered by the single most common word n-gram / total word chars
     (Gopher's "fraction of characters in most common n-gram")."""
     if len(words) < n:
         return 0.0
-    total_chars = sum(len(w) for w in words)
+    if total_chars is None:
+        total_chars = sum(len(w) for w in words)
     if total_chars == 0:
         return 0.0
     grams = Counter(_ngrams(words, n))
@@ -93,23 +101,31 @@ def _top_ngram_char_frac(words: List[str], n: int) -> float:
     return round(count * sum(len(w) for w in gram) / total_chars, 6)
 
 
-def _dup_ngram_char_frac(words: List[str], n: int) -> float:
+def _dup_ngram_char_frac(
+    words: List[str], n: int, word_lens=None, total_chars=None
+) -> float:
     """Chars inside word n-grams that occur more than once / total word chars
     (Gopher's "fraction of characters in duplicated n-grams"), counting each
     word position at most once via span marking."""
     if len(words) < n:
         return 0.0
-    total_chars = sum(len(w) for w in words)
+    if word_lens is None:
+        word_lens = [len(w) for w in words]
+    if total_chars is None:
+        total_chars = sum(word_lens)
     if total_chars == 0:
         return 0.0
     grams = _ngrams(words, n)
     counts = Counter(grams)
     covered = [False] * len(words)
+    any_dup = False
     for i, g in enumerate(grams):
         if counts[g] > 1:
-            for j in range(i, i + n):
-                covered[j] = True
-    dup_chars = sum(len(w) for w, c in zip(words, covered) if c)
+            covered[i : i + n] = [True] * n
+            any_dup = True
+    if not any_dup:
+        return 0.0
+    dup_chars = sum(l for l, c in zip(word_lens, covered) if c)
     return round(dup_chars / total_chars, 6)
 
 

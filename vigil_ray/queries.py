@@ -468,6 +468,38 @@ def q_lineitem_pricing(sf_dir: str):
     return agg.map_batches(round_cols, batch_format="pyarrow")
 
 
+def q_review_items(sf_dir: str):
+    """Human-review flat-map branch (reference src/human_review.py semantics):
+    detection → per-document review rows with consolidation. Expected rows are
+    fully determined by family arithmetic (score thresholds: detections with
+    conf in [0.80, 0.95) get motivo=score_medio / prioridade=baixa)."""
+    from vigil_ray.stages.detect import detect_stage
+    from vigil_ray.stages.review import review_stage
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+    out = review_stage(ds, PipelineConfig(), sort=False)
+    return out.select_columns(
+        ["id", "tipo_pii", "valor_detectado", "score", "motivo", "prioridade"]
+    )
+
+
+def q_ann_ivf_top10(sf_dir: str):
+    """IVF approximate top-k (scale path; probabilistic — rows-only driver
+    check, recall pinned in tests/test_ann.py)."""
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = emb.column("vec_id").to_pylist().index(0)
+    qvec = np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qvec, k=10).select_columns(["vec_id"])
+
+
 # SQL CTE reconstructing the variants corpus by construction
 _VARIANTS_CTE = """
 variants AS (
@@ -569,6 +601,8 @@ def queries() -> Dict[str, Callable]:
         "multimodal_payload_meta": q_multimodal_payload_meta,
         "orders_per_nation": q_orders_per_nation,
         "lineitem_pricing": q_lineitem_pricing,
+        "review_items": q_review_items,
+        "ann_ivf_top10": q_ann_ivf_top10,
     }
 
 
@@ -685,4 +719,24 @@ def oracle_sql() -> Dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
+        # families with a detection whose confidence lands in [0.80, 0.95):
+        # 3 rg@0.85, 5 nome@0.80, 7 cpf-numeric@0.90, 8 cpf-partial@0.90,
+        # 13 phone-ctx@0.90, 14 bare-phone@0.80 (the +55 form is a distinct
+        # digit string, so the 11-digit bare match survives dedup too)
+        "review_items": (
+            f"SELECT {_URL_EXPR} AS id, "
+            "CASE doc_id % 17 WHEN 3 THEN 'rg' WHEN 5 THEN 'nome' "
+            "  WHEN 7 THEN 'cpf' WHEN 8 THEN 'cpf' WHEN 13 THEN 'telefone' "
+            "  WHEN 14 THEN 'telefone' END AS tipo_pii, "
+            "CASE doc_id % 17 WHEN 3 THEN 'RG: 12.345.678-9' "
+            "  WHEN 5 THEN 'João da Silva Pereira' WHEN 7 THEN '12345678908' "
+            "  WHEN 8 THEN '123456789-00' WHEN 13 THEN 'whatsapp: 61 99999 8888' "
+            "  WHEN 14 THEN '11 98888-7777' END AS valor_detectado, "
+            "CASE doc_id % 17 WHEN 3 THEN 0.85 WHEN 5 THEN 0.80 "
+            "  WHEN 7 THEN 0.90 WHEN 8 THEN 0.90 WHEN 13 THEN 0.90 "
+            "  WHEN 14 THEN 0.80 END AS score, "
+            "'score_medio' AS motivo, 'baixa' AS prioridade "
+            "FROM documents WHERE doc_id % 17 IN (3, 5, 7, 8, 13, 14)"
+        ),
+        # ann_ivf_top10: approximate — deliberately rows-only
     }

@@ -100,7 +100,10 @@ def synthesize_pages(
     )
     if out_path:
         tmp = out_path + ".tmp"
-        pq.write_table(table, tmp)
+        # small row groups: parquet readers parallelize per row group — a
+        # single-row-group file forces a single read task and serializes the
+        # whole downstream pipeline (measured: 32 cpus ran NO faster than 1)
+        pq.write_table(table, tmp, row_group_size=4096)
         os.replace(tmp, out_path)
     return table
 

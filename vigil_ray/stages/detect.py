@@ -20,15 +20,7 @@ from typing import Any, Dict, List, Optional
 import pyarrow as pa
 
 from vigil_ray.config import PipelineConfig
-from vigil_ray.kernel import patterns
-from vigil_ray.kernel.detector import (
-    build_result,
-    could_have_pii,
-    empty_result,
-    scrub_text,
-)
-from vigil_ray.kernel.names import find_names_heuristic
-from vigil_ray.kernel.preprocess import normalize_text
+from vigil_ray.kernel.detector import analyze_document
 
 DETAIL_TYPE = pa.list_(
     pa.struct(
@@ -73,42 +65,32 @@ class PiiDetectScrub:
         conf = [0.0] * n
         scrubbed = [""] * n
 
+        emit = self.cfg.emit_details
         for i, raw in enumerate(texts):
             try:
-                if raw is not None and not could_have_pii(raw):
-                    scrubbed[i] = normalize_text(raw)
-                    continue
-                clean = normalize_text(raw)
-                if not clean:
-                    continue
-                found = patterns.find_structured(clean)
-                found.extend(find_names_heuristic(clean))
-                if not found:
-                    scrubbed[i] = clean
-                    continue
-                found.extend(patterns.find_contextual(clean))
-                res = build_result(found)
-                contem[i] = res["contem_pii"]
-                tipos[i] = res["tipos_detectados"]
-                detalhes[i] = _detail_rows(res["detalhes"], self.cfg.use_ner)
-                sinais[i] = _detail_rows(res["sinais_contextuais"], False)
-                conf[i] = res["confianca"]
-                scrubbed[i] = (
-                    scrub_text(clean, self.cfg.scrub_token)
-                    if res["contem_pii"]
-                    else clean
-                )
+                res, scrub = analyze_document(raw, self.cfg.scrub_token)
+                scrubbed[i] = scrub
+                if res["contem_pii"]:
+                    contem[i] = True
+                    tipos[i] = res["tipos_detectados"]
+                    conf[i] = res["confianca"]
+                    if emit:
+                        detalhes[i] = _detail_rows(res["detalhes"], self.cfg.use_ner)
+                        sinais[i] = _detail_rows(res["sinais_contextuais"], False)
             except Exception:  # noqa: BLE001 — poison row → empty result
-                res = empty_result()
                 scrubbed[i] = ""
 
-        return (
+        out = (
             batch.append_column("contem_pii", pa.array(contem, pa.bool_()))
             .append_column("tipos_detectados", pa.array(tipos, pa.list_(pa.string())))
-            .append_column("detalhes", pa.array(detalhes, DETAIL_TYPE))
-            .append_column("sinais_contextuais", pa.array(sinais, DETAIL_TYPE))
-            .append_column("confianca", pa.array(conf, pa.float64()))
-            .append_column("text_scrubbed", pa.array(scrubbed, pa.string()))
+        )
+        if emit:
+            out = out.append_column("detalhes", pa.array(detalhes, DETAIL_TYPE))
+            out = out.append_column(
+                "sinais_contextuais", pa.array(sinais, DETAIL_TYPE)
+            )
+        return out.append_column("confianca", pa.array(conf, pa.float64())).append_column(
+            "text_scrubbed", pa.array(scrubbed, pa.string())
         )
 
 

@@ -55,15 +55,16 @@ class QualityScorer:
         reasons: list = [[] for _ in range(n)]
 
         qcfg = self.cfg.quality
+        score = self.lm.score
+        ppl = [score(t or "") for t in texts]
         for i, raw in enumerate(texts):
             text = raw or ""
             feats = quality_features(text)
             lp, ls = classify(text)
-            p = self.lm.score(text)
-            lang_pred[i], lang_score[i], ppl[i] = lp, ls, p
+            lang_pred[i], lang_score[i] = lp, ls
             for name, _ in _FEATURE_COLS:
                 cols[name][i] = feats[name]
-            keep[i], reasons[i] = quality_rules(feats, ls, p, qcfg)
+            keep[i], reasons[i] = quality_rules(feats, ls, ppl[i], qcfg)
 
         out = batch
         out = out.append_column("lang_pred", pa.array(lang_pred, pa.string()))
