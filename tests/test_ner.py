@@ -1,0 +1,159 @@
+"""NER actor-pool stage tests: fake-model path, whitelist enforcement,
+graceful degradation, chunking over long docs (reference T1/T2 semantics)."""
+
+import re
+
+import pyarrow as pa
+import pytest
+
+from vigil_ray.config import DEFAULT_NER_MODEL, PipelineConfig
+from vigil_ray.stages.ner import NerNameDetector
+
+
+class FakePipeline:
+    """Deterministic stand-in for a transformers NER pipeline: emits a PER
+    entity for every 'Nome Sobrenome'-shaped capitalized bigram."""
+
+    RX = re.compile(r"\b([A-ZÁÂÃ][a-záàâãéêíóôõúç]+ [A-ZÁÂÃ][a-záàâãéêíóôõúç]+)\b")
+
+    def __init__(self, model_name=None, fail_on=None):
+        self.fail_on = fail_on
+
+    def __call__(self, chunk):
+        if self.fail_on and self.fail_on in chunk:
+            raise RuntimeError("boom")
+        return [
+            {"entity_group": "PER", "word": m.group(1), "score": 0.93}
+            for m in self.RX.finditer(chunk)
+        ]
+
+
+def _batch(texts):
+    return pa.table({"text": pa.array(texts, pa.string())})
+
+
+class TestNerDetector:
+    def test_fake_model_detects_names(self):
+        det = NerNameDetector(
+            PipelineConfig(use_ner=True), model_factory=lambda m: FakePipeline(m)
+        )
+        assert det.model_ran
+        out = det(_batch(["encontrei Maria Souza na reunião ontem"]))
+        assert out.column("contem_pii")[0].as_py() is True
+        assert out.column("nomes_detectados")[0].as_py() == ["Maria Souza"]
+
+    def test_institutional_names_filtered(self):
+        det = NerNameDetector(
+            PipelineConfig(use_ner=True), model_factory=lambda m: FakePipeline(m)
+        )
+        out = det(_batch(["contato com Asa Norte e Santa Maria hoje"]))
+        # both bigrams are institutional vocabulary → filtered out
+        assert out.column("nomes_detectados")[0].as_py() == []
+
+    def test_case_insensitive_dedup(self):
+        det = NerNameDetector(
+            PipelineConfig(use_ner=True), model_factory=lambda m: FakePipeline(m)
+        )
+        out = det(_batch(["Maria Souza falou; MARIA SOUZA? Maria Souza saiu"]))
+        assert out.column("nomes_detectados")[0].as_py() == ["Maria Souza"]
+
+    def test_long_text_middle_dropped(self):
+        det = NerNameDetector(
+            PipelineConfig(use_ner=True), model_factory=lambda m: FakePipeline(m)
+        )
+        head = "Ana Clara presente. " + "x " * 800
+        middle = "Pedro Santos escondido " + "y " * 800
+        tail = " final assinado por Joao Silva"
+        text = head + middle + tail
+        assert len(text) > 3000
+        out = det(_batch([text]))
+        nomes = out.column("nomes_detectados")[0].as_py()
+        assert "Ana Clara" in nomes        # first 1500 chars
+        assert "Joao Silva" in nomes       # last 1500 chars
+        assert "Pedro Santos" not in nomes  # middle dropped (reference M7)
+
+    def test_whitelist_blocks_unknown_model(self):
+        det = NerNameDetector(PipelineConfig(use_ner=True, ner_model="evil/model"))
+        assert det.model is None and not det.model_ran
+
+    def test_load_failure_degrades_to_heuristic(self):
+        def bad_factory(name):
+            raise RuntimeError("no transformers here")
+
+        det = NerNameDetector(PipelineConfig(use_ner=True), model_factory=bad_factory)
+        assert det.model is None
+        out = det(_batch(["meu nome é João da Silva Pereira, obrigado"]))
+        assert out.column("nomes_detectados")[0].as_py() == ["João da Silva Pereira"]
+
+    def test_inference_error_falls_back_per_text(self):
+        det = NerNameDetector(
+            PipelineConfig(use_ner=True),
+            model_factory=lambda m: FakePipeline(m, fail_on="BOOM"),
+        )
+        out = det(_batch(["BOOM meu nome é Carla Dias Lima", "ok Maria Souza aqui"]))
+        # row 1: model raised → heuristic found the strong-context name
+        assert "Carla Dias Lima" in out.column("nomes_detectados")[0].as_py()[0]
+        # row 2: model path worked
+        assert out.column("nomes_detectados")[1].as_py() == ["Maria Souza"]
+
+    def test_default_loader_degrades_without_transformers(self):
+        # transformers is absent in this environment: the REAL loader path
+        # must degrade exactly like the reference does (detector.py:95-100)
+        det = NerNameDetector(PipelineConfig(use_ner=True, ner_model=DEFAULT_NER_MODEL))
+        assert det.model is None and not det.model_ran
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ner_stage_in_pipeline():
+    import ray.data as rd
+
+    from vigil_ray.stages.ner import ner_detect_stage
+
+    # the fake model must be defined INSIDE the test: cloudpickle serializes
+    # nested classes by value, while module-level classes from tests/ pickle
+    # by reference to a module Ray workers cannot import (the actor then
+    # fails construction and the pool retries forever — observed hang)
+    def local_fake_factory(model_name):
+        rx = re.compile(r"\b([A-Z][a-záàâãéêíóôõúç]+ [A-Z][a-záàâãéêíóôõúç]+)\b")
+
+        def fake(chunk):
+            return [
+                {"entity_group": "PER", "word": m.group(1), "score": 0.93}
+                for m in rx.finditer(chunk)
+            ]
+
+        return fake
+
+    ds = rd.from_items(
+        [
+            {"text": "reunião com Maria Souza amanhã"},
+            {"text": "texto sem nomes aqui"},
+        ]
+    )
+    out = ner_detect_stage(
+        ds,
+        PipelineConfig(use_ner=True),
+        model_factory=local_fake_factory,
+        concurrency=2,  # < session cpus, else the pool starves the read
+    ).to_pandas()
+    assert out["contem_pii"].tolist() == [True, False]
+
+
+class TestBooleans:
+    def test_scalar(self):
+        from vigil_ray.functions.booleans import normalize_boolean
+
+        for v in (True, "true", "1", 1, "sim", "YES", " s ", "verdadeiro", 1.0):
+            assert normalize_boolean(v) is True
+        for v in (False, "false", "0", "nao", "não", "no", "", None):
+            assert normalize_boolean(v) is False
+
+    def test_vectorized_matches_scalar(self):
+        from vigil_ray.functions.booleans import (
+            normalize_boolean,
+            normalize_boolean_array,
+        )
+
+        vals = ["true", "1", "sim", "no", "FALSE", " y ", "verdadeiro", "x"]
+        arr = normalize_boolean_array(pa.array(vals))
+        assert arr.to_pylist() == [normalize_boolean(v) for v in vals]

@@ -500,6 +500,52 @@ def q_ann_ivf_top10(sf_dir: str):
     return ivf_topk(ds, qvec, k=10).select_columns(["vec_id"])
 
 
+def q_pages_lang_stats(sf_dir: str):
+    """Language-stratified stats via salted two-phase aggregation
+    (skew-handling pattern; stages/stratified.py)."""
+    from vigil_ray.kernel.textstats import count_ws_tokens
+    from vigil_ray.stages.stratified import stratified_lang_stats
+
+    def add_words(batch: pa.Table) -> pa.Table:
+        n = [count_ws_tokens(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("n_words", pa.array(n, pa.int64()))
+
+    ds = _pages_ds(sf_dir).map_batches(add_words, batch_format="pyarrow")
+    return stratified_lang_stats(ds)
+
+
+def q_confidence_histogram(sf_dir: str):
+    """A4: fixed-bin confidence histogram over PII-positive pages."""
+    from vigil_ray.stages.detect import detect_stage
+    from vigil_ray.stages.stratified import confidence_histogram
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig(emit_details=False))
+    return confidence_histogram(ds)
+
+
+def q_eval_boolean_labels(sf_dir: str):
+    """Label-file boolean normalization (reference src/utils.py:13-29):
+    mixed truthy/falsy encodings derived from doc_id, normalized with the
+    vectorized kernel; the oracle derives the same booleans by construction."""
+    from vigil_ray.functions.booleans import normalize_boolean_array
+
+    encodings = ("true", "1", "sim", "yes", "false", "0", "nao", "verdadeiro")
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        raw = [encodings[i % 8] for i in ids]
+        arr = pa.array(raw, pa.string())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "label_raw": arr,
+                "label_bool": normalize_boolean_array(arr),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
 # SQL CTE reconstructing the variants corpus by construction
 _VARIANTS_CTE = """
 variants AS (
@@ -603,6 +649,9 @@ def queries() -> Dict[str, Callable]:
         "lineitem_pricing": q_lineitem_pricing,
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
+        "pages_lang_stats": q_pages_lang_stats,
+        "confidence_histogram": q_confidence_histogram,
+        "eval_boolean_labels": q_eval_boolean_labels,
     }
 
 
@@ -739,4 +788,26 @@ def oracle_sql() -> Dict[str, str]:
             "FROM documents WHERE doc_id % 17 IN (3, 5, 7, 8, 13, 14)"
         ),
         # ann_ivf_top10: approximate — deliberately rows-only
+        "pages_lang_stats": (
+            f"WITH p AS (SELECT doc_id, lang, ({_PAGE_TEXT_EXPR}) AS t FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(array_length(regexp_split_to_array(trim(t), '\\s+'))) AS sum_n_words "
+            "FROM p GROUP BY lang"
+        ),
+        "confidence_histogram": (
+            "WITH bins(bin_low) AS (VALUES (0.0), (0.5), (0.6), (0.7), (0.8), (0.9)), "
+            "c AS (SELECT CASE WHEN doc_id % 17 IN (3, 5) THEN 0.8 "
+            "  WHEN doc_id % 17 IN (0, 1, 2, 7, 8, 13, 14) THEN 0.9 END AS bin_low, "
+            "  count(*) AS n FROM documents "
+            "  WHERE doc_id % 17 IN (0, 1, 2, 3, 5, 7, 8, 13, 14) GROUP BY 1) "
+            "SELECT b.bin_low, coalesce(c.n, 0) AS n FROM bins b LEFT JOIN c USING (bin_low)"
+        ),
+        "eval_boolean_labels": (
+            "SELECT doc_id, "
+            "CASE doc_id % 8 WHEN 0 THEN 'true' WHEN 1 THEN '1' WHEN 2 THEN 'sim' "
+            "  WHEN 3 THEN 'yes' WHEN 4 THEN 'false' WHEN 5 THEN '0' "
+            "  WHEN 6 THEN 'nao' WHEN 7 THEN 'verdadeiro' END AS label_raw, "
+            "(doc_id % 8) IN (0, 1, 2, 3, 7) AS label_bool "
+            "FROM documents"
+        ),
     }
