@@ -500,6 +500,29 @@ def q_ann_ivf_top10(sf_dir: str):
     return ivf_topk(ds, qvec, k=10).select_columns(["vec_id"])
 
 
+def q_order_priority_items(sf_dir: str):
+    """Both-sides-large join: orders ⨝ lineitem on o_orderkey, per-priority
+    line counts. Uses Ray's hash-partitioned ``Dataset.join`` (both sides
+    shuffled on the key) — the pattern for fact-to-fact joins where neither
+    side broadcasts; ``num_partitions`` is the explicit shuffle width."""
+    from ray.data.aggregate import Count
+
+    from vigil_ray.sources.readers import read_table
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    joined = orders.join(
+        lineitem,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_items"))
+
+
 def q_pages_lang_stats(sf_dir: str):
     """Language-stratified stats via salted two-phase aggregation
     (skew-handling pattern; stages/stratified.py)."""
@@ -649,6 +672,7 @@ def queries() -> Dict[str, Callable]:
         "lineitem_pricing": q_lineitem_pricing,
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
+        "order_priority_items": q_order_priority_items,
         "pages_lang_stats": q_pages_lang_stats,
         "confidence_histogram": q_confidence_histogram,
         "eval_boolean_labels": q_eval_boolean_labels,
@@ -781,13 +805,18 @@ def oracle_sql() -> Dict[str, str]:
             "  WHEN 5 THEN 'João da Silva Pereira' WHEN 7 THEN '12345678908' "
             "  WHEN 8 THEN '123456789-00' WHEN 13 THEN 'whatsapp: 61 99999 8888' "
             "  WHEN 14 THEN '11 98888-7777' END AS valor_detectado, "
-            "CASE doc_id % 17 WHEN 3 THEN 0.85 WHEN 5 THEN 0.80 "
+            "CAST(CASE doc_id % 17 WHEN 3 THEN 0.85 WHEN 5 THEN 0.80 "
             "  WHEN 7 THEN 0.90 WHEN 8 THEN 0.90 WHEN 13 THEN 0.90 "
-            "  WHEN 14 THEN 0.80 END AS score, "
+            "  WHEN 14 THEN 0.80 END AS DOUBLE) AS score, "
             "'score_medio' AS motivo, 'baixa' AS prioridade "
             "FROM documents WHERE doc_id % 17 IN (3, 5, 7, 8, 13, 14)"
         ),
         # ann_ivf_top10: approximate — deliberately rows-only
+        "order_priority_items": (
+            "SELECT o.o_orderpriority, count(*) AS n_items "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY o.o_orderpriority"
+        ),
         "pages_lang_stats": (
             f"WITH p AS (SELECT doc_id, lang, ({_PAGE_TEXT_EXPR}) AS t FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
@@ -800,7 +829,8 @@ def oracle_sql() -> Dict[str, str]:
             "  WHEN doc_id % 17 IN (0, 1, 2, 7, 8, 13, 14) THEN 0.9 END AS bin_low, "
             "  count(*) AS n FROM documents "
             "  WHERE doc_id % 17 IN (0, 1, 2, 3, 5, 7, 8, 13, 14) GROUP BY 1) "
-            "SELECT b.bin_low, coalesce(c.n, 0) AS n FROM bins b LEFT JOIN c USING (bin_low)"
+            "SELECT CAST(b.bin_low AS DOUBLE) AS bin_low, coalesce(c.n, 0) AS n "
+            "FROM bins b LEFT JOIN c USING (bin_low)"
         ),
         "eval_boolean_labels": (
             "SELECT doc_id, "
