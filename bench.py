@@ -14,7 +14,8 @@ BASELINE.md).
 Env knobs:
     GRAFT_SF_DIR      input tables dir      (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS    ray.init num_cpus     (default 32)
-    GRAFT_MULTIPLIER  pages amplification   (default 40 → ~200k docs at sf0.1)
+    GRAFT_MULTIPLIER  pages amplification   (default 120 → 600k docs at sf0.1)
+    GRAFT_SCALE_LO/HI --scaling cpu pair    (default 4 / 16; see BASELINE.md)
 """
 
 from __future__ import annotations

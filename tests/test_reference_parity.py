@@ -104,6 +104,29 @@ def test_detection_parity(reference_detector):
         assert ours["confianca"] == ref["confianca"], text[:80]
 
 
+def test_golden_corpus_parity(reference_detector):
+    """Differential equality over the reference's own 99-record golden sample
+    (real FOI request texts, analise/resultado.csv) — the strongest
+    real-data conformance check available without the NER model."""
+    import csv
+
+    from vigil_ray.kernel.detector import analyze_document, detect_pii
+
+    path = os.path.join(REFERENCE, "analise", "resultado.csv")
+    if not os.path.exists(path):
+        pytest.skip("golden corpus not available")
+    with open(path, encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 99
+    for row in rows:
+        text = row["Texto Mascarado"]
+        ref = reference_detector.detect(text)
+        ours = detect_pii(text)
+        assert ours == ref, row["ID"]
+        fused, _ = analyze_document(text)
+        assert fused == ref, row["ID"]
+
+
 def test_review_parity(reference_detector):
     sys.path.insert(0, REFERENCE)
     try:

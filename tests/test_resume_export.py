@@ -64,6 +64,25 @@ class TestResumable:
         )
         assert total == pq.read_metadata(f"{SF}/documents.parquet").num_rows
 
+    def test_per_shard_metrics_in_manifest(self, sharded_input, tmp_path):
+        from vigil_ray.pipelines.manifest import load_manifest, run_resumable
+
+        out_dir = str(tmp_path / "out_m")
+
+        def metrics(ds):
+            return {"sum_n_chars": int(ds.sum("n_chars"))}
+
+        run_resumable(sharded_input, out_dir, self._pipeline, metrics_fn=metrics)
+        manifest = load_manifest(out_dir)
+        total = sum(e["metrics"]["sum_n_chars"] for e in manifest.values())
+        expected = int(
+            pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+            .column("n_chars")
+            .to_pandas()
+            .sum()
+        )
+        assert total == expected
+
     def test_input_change_invalidates(self, sharded_input, tmp_path):
         from vigil_ray.pipelines.manifest import run_resumable
 

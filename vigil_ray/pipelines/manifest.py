@@ -53,6 +53,7 @@ def run_resumable(
     out_dir: str,
     pipeline_fn: Callable,
     shard_id_fn: Optional[Callable[[str], str]] = None,
+    metrics_fn: Optional[Callable] = None,
 ) -> dict:
     """Run ``pipeline_fn(dataset_for_shard) -> Dataset`` over every input
     shard not yet recorded complete; returns run stats.
@@ -60,6 +61,11 @@ def run_resumable(
     ``pipeline_fn`` receives a Dataset read from one input path and returns
     the transformed Dataset to persist. A shard is skipped when its manifest
     entry exists AND the input fingerprint is unchanged.
+
+    ``metrics_fn(output_dataset) -> dict`` (optional) computes per-shard
+    metrics (docs kept, PII counts, ...) recorded in the shard's manifest
+    row — the per-partition metrics lineage of SURVEY.md §4; global stats are
+    then a sum over manifest rows, no second pass over the data.
     """
     import ray.data as rd
 
@@ -87,7 +93,9 @@ def run_resumable(
         tmp_dir = shard_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         out.write_parquet(tmp_dir)
-        n_out = rd.read_parquet(tmp_dir, columns=None).count()
+        written = rd.read_parquet(tmp_dir)
+        n_out = written.count()
+        metrics = metrics_fn(written) if metrics_fn else {}
         shutil.rmtree(shard_dir, ignore_errors=True)
         os.replace(tmp_dir, shard_dir)
         _append_manifest(
@@ -100,6 +108,7 @@ def run_resumable(
                 "rows_out": n_out,
                 "wall_sec": round(time.perf_counter() - t0, 3),
                 "output_dir": shard_dir,
+                "metrics": metrics,
             },
         )
         ran += 1

@@ -523,6 +523,29 @@ def q_order_priority_items(sf_dir: str):
     return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_items"))
 
 
+def q_distinct_langs(sf_dir: str):
+    """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
+    import ray.data as rd
+
+    ds = _docs(sf_dir, ["lang"])
+    langs = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(langs, pa.string())})
+
+
+def q_union_names(sf_dir: str):
+    """Set op: union of two datasets (region ∪ nation name rows) → count."""
+    from vigil_ray.sources.readers import read_table
+
+    regions = read_table(f"{sf_dir}/region.parquet", columns=["r_name"]).map_batches(
+        lambda b: pa.table({"name": b.column("r_name")}), batch_format="pyarrow"
+    )
+    nations = read_table(f"{sf_dir}/nation.parquet", columns=["n_name"]).map_batches(
+        lambda b: pa.table({"name": b.column("n_name")}), batch_format="pyarrow"
+    )
+    unioned = regions.union(nations)
+    return pa.table({"n_names": pa.array([unioned.count()], pa.int64())})
+
+
 def q_pages_lang_stats(sf_dir: str):
     """Language-stratified stats via salted two-phase aggregation
     (skew-handling pattern; stages/stratified.py)."""
@@ -673,6 +696,8 @@ def queries() -> Dict[str, Callable]:
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
         "order_priority_items": q_order_priority_items,
+        "distinct_langs": q_distinct_langs,
+        "union_names": q_union_names,
         "pages_lang_stats": q_pages_lang_stats,
         "confidence_histogram": q_confidence_histogram,
         "eval_boolean_labels": q_eval_boolean_labels,
@@ -816,6 +841,11 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT o.o_orderpriority, count(*) AS n_items "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "GROUP BY o.o_orderpriority"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "union_names": (
+            "SELECT count(*) AS n_names FROM "
+            "(SELECT r_name AS name FROM region UNION ALL SELECT n_name FROM nation)"
         ),
         "pages_lang_stats": (
             f"WITH p AS (SELECT doc_id, lang, ({_PAGE_TEXT_EXPR}) AS t FROM documents) "
