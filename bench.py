@@ -129,7 +129,9 @@ def run_bench() -> dict:
     # --- secondary pipelines over the driver's sf tables -------------------
     secondary = [
         "dedup_exact",
+        "dedup_minhash_pairs",
         "events_hourly",
+        "events_sessions",
         "ann_cosine_top10",
         "pages_type_counts",
     ]

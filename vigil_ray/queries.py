@@ -523,6 +523,61 @@ def q_order_priority_items(sf_dir: str):
     return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_items"))
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join (SURVEY §2 custom-operator class): for each purchase, the
+    most recent click by the same user at-or-before the purchase time.
+    Ray shape: co-partition by user (groupby) → ordered ``pd.merge_asof``
+    inside each group. Output: (event_id, click_ts) for purchases that have
+    a preceding click."""
+    import pandas as pd
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        buys = g[g["event_type"] == "purchase"][["event_id", "ts"]].sort_values(
+            ["ts", "event_id"]
+        )
+        clicks = g[g["event_type"] == "click"][["ts"]].sort_values("ts")
+        if buys.empty or clicks.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "click_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        merged = pd.merge_asof(
+            buys, clicks.rename(columns={"ts": "click_ts"}),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        merged = merged.dropna(subset=["click_ts"])
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"].astype("int64"),
+                "click_ts": merged["click_ts"].astype("datetime64[us]"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_top3_docs_per_lang(sf_dir: str):
+    """Per-group top-k: 3 longest documents per language (groupby →
+    ordered head inside the group; ties broken by doc_id)."""
+    import pandas as pd
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)[
+            ["lang", "doc_id", "n_chars"]
+        ]
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -696,6 +751,8 @@ def queries() -> Dict[str, Callable]:
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
         "order_priority_items": q_order_priority_items,
+        "events_asof_join": q_events_asof_join,
+        "top3_docs_per_lang": q_top3_docs_per_lang,
         "distinct_langs": q_distinct_langs,
         "union_names": q_union_names,
         "pages_lang_stats": q_pages_lang_stats,
@@ -841,6 +898,18 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT o.o_orderpriority, count(*) AS n_items "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "GROUP BY o.o_orderpriority"
+        ),
+        "events_asof_join": (
+            "SELECT p.event_id, max(c.ts) AS click_ts "
+            "FROM events p JOIN events c "
+            "ON p.user_id = c.user_id AND c.ts <= p.ts AND c.event_type = 'click' "
+            "WHERE p.event_type = 'purchase' GROUP BY p.event_id"
+        ),
+        "top3_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars FROM ( "
+            "  SELECT lang, doc_id, n_chars, row_number() OVER "
+            "    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "  FROM documents) WHERE rn <= 3"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_names": (
