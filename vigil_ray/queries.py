@@ -407,13 +407,16 @@ def q_orders_per_nation(sf_dir: str):
         ):
             name = nmap.get(cmap.get(ck))
             counts[name] = counts.get(name, 0) + 1
-            sums[name] = sums.get(name, 0.0) + price
+            # exact integer cents: float sums of ~1e9 magnitudes can land
+            # within double error of a rounding boundary and flake the
+            # value-hash compare; integer sums are exact on both sides
+            sums[name] = sums.get(name, 0) + round(price * 100)
         names = sorted(counts)
         return pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
                 "n_partial": pa.array([counts[n] for n in names], pa.int64()),
-                "sum_partial": pa.array([sums[n] for n in names], pa.float64()),
+                "sum_partial": pa.array([sums[n] for n in names], pa.int64()),
             }
         )
 
@@ -423,20 +426,10 @@ def q_orders_per_nation(sf_dir: str):
         .groupby("n_name")
         .aggregate(
             Sum("n_partial", alias_name="n_orders"),
-            Sum("sum_partial", alias_name="total_price_sum"),
+            Sum("sum_partial", alias_name="total_price_cents"),
         )
     )
-
-    def round_sum(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.set_column(
-            batch.schema.get_field_index("total_price_sum"),
-            "total_price_sum",
-            pc.round(batch.column("total_price_sum"), ndigits=2),
-        )
-
-    return agg.map_batches(round_sum, batch_format="pyarrow")
+    return agg
 
 
 def q_lineitem_pricing(sf_dir: str):
@@ -450,22 +443,31 @@ def q_lineitem_pricing(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
+
+    def to_exact(batch: pa.Table) -> pa.Table:
+        # integer cents / integer quantities: exact sums on both sides
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_int": qty,
+                "price_cents": cents,
+            }
+        )
+
+    agg = ds.map_batches(to_exact, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty_int", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
         Count(alias_name="n_rows"),
     )
-
-    def round_cols(batch: pa.Table) -> pa.Table:
-        for col in ("sum_qty", "sum_price"):
-            batch = batch.set_column(
-                batch.schema.get_field_index(col),
-                col,
-                pc.round(batch.column(col), ndigits=2),
-            )
-        return batch
-
-    return agg.map_batches(round_cols, batch_format="pyarrow")
+    return agg
 
 
 def q_review_items(sf_dir: str):
@@ -521,6 +523,40 @@ def q_order_priority_items(sf_dir: str):
         right_on=("l_orderkey",),
     )
     return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_items"))
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding window (1 h length, 30 min slide): each event lands in two
+    windows, emitted as two rows in ``map_batches`` (flat-map shape), then a
+    normal groupby — the Ray Data expression of overlapping windows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch.column("ts"), multiple=30, unit="minute")
+        shifted = pc.subtract(
+            base, pa.scalar(1_800_000_000, pa.duration("us"))
+        )
+        types = batch.column("event_type")
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [types.combine_chunks(), types.combine_chunks()]
+                ),
+                "window_start": pa.concat_arrays(
+                    [base.combine_chunks(), shifted.combine_chunks()]
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode_windows, batch_format="pyarrow")
+    return exploded.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n")
+    )
 
 
 def q_events_asof_join(sf_dir: str):
@@ -751,6 +787,7 @@ def queries() -> Dict[str, Callable]:
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
         "order_priority_items": q_order_priority_items,
+        "events_sliding": q_events_sliding,
         "events_asof_join": q_events_asof_join,
         "top3_docs_per_lang": q_top3_docs_per_lang,
         "distinct_langs": q_distinct_langs,
@@ -864,15 +901,16 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "orders_per_nation": (
             "SELECT n.n_name, count(*) AS n_orders, "
-            "round(sum(o.o_totalprice), 2) AS total_price_sum "
+            "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
         ),
         "lineitem_pricing": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
-            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         # families with a detection whose confidence lands in [0.80, 0.95):
         # 3 rg@0.85, 5 nome@0.80, 7 cpf-numeric@0.90, 8 cpf-partial@0.90,
@@ -898,6 +936,12 @@ def oracle_sql() -> Dict[str, str]:
             "SELECT o.o_orderpriority, count(*) AS n_items "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "GROUP BY o.o_orderpriority"
+        ),
+        "events_sliding": (
+            "SELECT event_type, window_start, count(*) AS n FROM ( "
+            "  SELECT event_type, unnest([time_bucket(INTERVAL 30 MINUTE, ts), "
+            "    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start "
+            "  FROM events) GROUP BY event_type, window_start"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
