@@ -67,7 +67,10 @@ def _pages_ds(sf_dir: str):
 
     from vigil_ray.sources.pages import synthesize_pages
 
-    return rd.from_arrow(synthesize_pages(sf_dir))
+    table = synthesize_pages(sf_dir)
+    # from_arrow yields ONE block → downstream map stages would run on a
+    # single task; split so per-doc work parallelizes (~2k rows per block)
+    return rd.from_arrow(table).repartition(max(1, table.num_rows // 2048))
 
 
 # --------------------------------------------------------------------------
@@ -294,7 +297,8 @@ def _variants_ds(sf_dir: str):
 
     from vigil_ray.sources.pages import synthesize_variants
 
-    return rd.from_arrow(synthesize_variants(sf_dir))
+    table = synthesize_variants(sf_dir)
+    return rd.from_arrow(table).repartition(max(1, table.num_rows // 512))
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
