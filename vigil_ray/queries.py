@@ -618,6 +618,28 @@ def q_top3_docs_per_lang(sf_dir: str):
     return ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact order-statistic quantiles of document length (p25/p50/p90):
+    rank k = floor((n-1)·q) of the (n_chars, doc_id) global sort. The
+    distributed form streams only k+1 rows through ``sort → limit`` — order
+    statistics without materializing the corpus (exact, unlike sketch-based
+    quantile estimates, and byte-for-byte checkable in SQL)."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = ds.count()
+    qs_out, vals = [], []
+    for q in (0.25, 0.5, 0.9):
+        k = int((n - 1) * q)
+        row = ds.sort(["n_chars", "doc_id"]).limit(k + 1).take_all()[-1]
+        qs_out.append(q)
+        vals.append(int(row["n_chars"]))
+    return pa.table(
+        {
+            "q": pa.array(qs_out, pa.float64()),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -794,6 +816,7 @@ def queries() -> Dict[str, Callable]:
         "events_sliding": q_events_sliding,
         "events_asof_join": q_events_asof_join,
         "top3_docs_per_lang": q_top3_docs_per_lang,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "distinct_langs": q_distinct_langs,
         "union_names": q_union_names,
         "pages_lang_stats": q_pages_lang_stats,
@@ -958,6 +981,13 @@ def oracle_sql() -> Dict[str, str]:
             "  SELECT lang, doc_id, n_chars, row_number() OVER "
             "    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
             "  FROM documents) WHERE rn <= 3"
+        ),
+        "doc_length_quantiles": (
+            "WITH ranked AS (SELECT n_chars, row_number() OVER "
+            "  (ORDER BY n_chars, doc_id) - 1 AS rk, count(*) OVER () AS n "
+            "  FROM documents) "
+            "SELECT q, n_chars FROM (VALUES (0.25), (0.5), (0.9)) AS qs(q) "
+            "JOIN ranked ON ranked.rk = CAST(floor((ranked.n - 1) * qs.q) AS BIGINT)"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_names": (
