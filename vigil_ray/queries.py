@@ -869,8 +869,10 @@ def oracle_sql() -> Dict[str, str]:
             "FROM documents"
         ),
         "pages_summary": (
+            # integer sum() in DuckDB yields hugeint/decimal128 — cast back to
+            # BIGINT so the driver's value hash matches the engine's int64
             "SELECT count(*) AS total, "
-            f"sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS com_pii "
+            f"CAST(sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS com_pii "
             "FROM documents"
         ),
         "pages_type_counts": (
@@ -888,9 +890,9 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "eval_confusion": (
             "SELECT count(*) AS total, "
-            f"sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS tp, "
-            f"sum(CASE WHEN (doc_id % 17) NOT IN ({pii_set}) THEN 1 ELSE 0 END) AS tn, "
-            "0 AS fp, 0 AS fn FROM documents"
+            f"CAST(sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+            f"CAST(sum(CASE WHEN (doc_id % 17) NOT IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS tn, "
+            "CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn FROM documents"
         ),
         "ann_cosine_top10": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
@@ -917,7 +919,7 @@ def oracle_sql() -> Dict[str, str]:
             "  FROM flagged ), "
             "per_session AS ( "
             "  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid) "
-            "SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events, "
+            "SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events, "
             "max(n) AS max_session_events FROM per_session GROUP BY user_id"
         ),
         "multimodal_payload_meta": (
@@ -928,15 +930,15 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "orders_per_nation": (
             "SELECT n.n_name, count(*) AS n_orders, "
-            "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_price_cents "
+            "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty, "
-            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         # families with a detection whose confidence lands in [0.80, 0.95):
@@ -997,7 +999,7 @@ def oracle_sql() -> Dict[str, str]:
         "pages_lang_stats": (
             f"WITH p AS (SELECT doc_id, lang, ({_PAGE_TEXT_EXPR}) AS t FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
-            "sum(array_length(regexp_split_to_array(trim(t), '\\s+'))) AS sum_n_words "
+            "CAST(sum(array_length(regexp_split_to_array(trim(t), '\\s+'))) AS BIGINT) AS sum_n_words "
             "FROM p GROUP BY lang"
         ),
         "confidence_histogram": (
