@@ -184,3 +184,54 @@ class TestSpans:
         text = "CPF 123.456.789-00 repetido como 123456789-00"
         assert len(P.find_cpf(text)) == 1          # reporting dedups
         assert len(P.find_scrub_spans(text)) == 2  # redaction does not
+
+
+class TestSSN:
+    def test_formatted_ssn(self):
+        dets = [d for d in P.find_structured("my SSN: 123-45-6789 ok") if d.tipo == "ssn"]
+        assert len(dets) == 1 and dets[0].valor == "123-45-6789" and dets[0].conf == 0.95
+
+    def test_ssn_not_in_sei_number(self):
+        text = "Conforme processo SEI 00015-12345678/2026-01 informado."
+        assert [d for d in P.find_structured(text) if d.tipo == "ssn"] == []
+
+    def test_ssn_span(self):
+        text = "x 123-45-6789 y"
+        d = P.find_ssn(text)[0]
+        assert text[d.start : d.end] == d.valor
+
+
+class TestCreditCard:
+    def test_luhn(self):
+        assert P.luhn_valid("4111111111111111")
+        assert P.luhn_valid("5500005555555559")
+        assert P.luhn_valid("378282246310005")     # 15-digit amex
+        assert not P.luhn_valid("4111111111111112")
+
+    def test_spaced_card_detected(self):
+        dets = P.find_card("Cartão 4111 1111 1111 1111 cadastrado.")
+        assert len(dets) == 1 and dets[0].conf == 0.95
+        assert dets[0].valor == "4111 1111 1111 1111"
+
+    def test_hyphenated_card_detected(self):
+        assert len(P.find_card("card 4111-1111-1111-1111 end")) == 1
+
+    def test_luhn_invalid_rejected(self):
+        assert P.find_card("numero 4111 1111 1111 1112 fim") == []
+
+    def test_phone_not_card(self):
+        # 13-digit intl phone must not be mistaken for a card
+        assert P.find_card("+55 11 98888-7777 e email a@b.test") == []
+
+    def test_cpf_not_card(self):
+        assert P.find_card("CPF: 12345678908 ok") == []
+
+    def test_card_dedup_by_digits(self):
+        dets = P.find_card("4111 1111 1111 1111 e 4111-1111-1111-1111")
+        assert len(dets) == 1
+        # but both spans are scrubbed
+        spans = [d for d in P.find_scrub_spans("4111 1111 1111 1111 e 4111-1111-1111-1111") if d.tipo == "cartao"]
+        assert len(spans) == 2
+
+    def test_long_digit_run_not_card(self):
+        assert P.find_card("id 123456789012345678901234 x") == []

@@ -16,7 +16,8 @@ from vigil_ray.kernel.langid import classify
 from vigil_ray.kernel.perplexity import default_model
 from vigil_ray.kernel.preprocess import normalize_text
 from vigil_ray.kernel.quality import quality_features, quality_rules
-from vigil_ray.sources.pages import expected_has_pii, synthesize_pages
+from vigil_ray.kernel.toxicity import score_toxicity, scrub_toxic
+from vigil_ray.sources.pages import expected_has_pii, expected_toxic, synthesize_pages
 
 SF = "/root/testdata/sf0.001"
 
@@ -46,6 +47,13 @@ def _oracle_row(text):
     ppl = default_model().score(text)
     keep, reasons = quality_rules(feats, lang_score, ppl, cfg.quality)
     scrubbed = scrub_text(clean, cfg.scrub_token) if det["contem_pii"] else clean
+    n_tox, _, is_toxic = score_toxicity(
+        text, cfg.toxicity.min_hits, cfg.toxicity.min_ratio
+    )
+    if is_toxic:
+        keep = False
+        reasons = list(reasons) + ["toxicity"]
+        scrubbed = scrub_toxic(scrubbed, cfg.toxicity.scrub_token)
     return {
         "contem_pii": det["contem_pii"],
         "tipos_detectados": det["tipos_detectados"],
@@ -84,7 +92,8 @@ def test_by_construction_pii_labels(ray_output):
     synthesizer's family labels are the ground truth by construction."""
     for _, row in ray_output.iterrows():
         k = int(row["url"].rsplit("/", 1)[1])
-        assert row["contem_pii"] == expected_has_pii(k), (row["url"], k % 17)
+        assert row["contem_pii"] == expected_has_pii(k), (row["url"], k % 20)
+        assert row["is_toxic"] == expected_toxic(k), (row["url"], k % 20)
 
 
 def test_scrubbed_text_has_no_pii(ray_output):
@@ -99,6 +108,8 @@ def test_scrubbed_text_has_no_pii(ray_output):
         assert "email" not in redetect["tipos_detectados"]
         assert "telefone" not in redetect["tipos_detectados"]
         assert "rg" not in redetect["tipos_detectados"]
+        assert "ssn" not in redetect["tipos_detectados"]
+        assert "cartao" not in redetect["tipos_detectados"]
 
 
 def test_determinism_two_runs(ray_session, pages_table):

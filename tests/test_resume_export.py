@@ -115,7 +115,7 @@ class TestExport:
         assert envelope["metadata"]["total_registros"] == 500
         assert envelope["metadata"]["total_com_pii"] > 0
         assert set(envelope["estatisticas"]["por_tipo"]) == {
-            "cpf", "email", "telefone", "rg", "nome",
+            "cpf", "email", "telefone", "rg", "nome", "ssn", "cartao",
         }
         on_disk = json.load(open(summary))
         assert on_disk == envelope

@@ -62,6 +62,19 @@ class QualityConfig:
 
 
 @dataclass
+class ToxicityConfig:
+    """Toxicity gate thresholds (north_star: "PII/toxicity scrub").
+
+    ``min_hits`` is an absolute floor so injected abuse in a long document
+    still trips the gate; ``min_ratio`` catches short all-abuse documents.
+    """
+
+    min_hits: int = 2
+    min_ratio: float = 0.1
+    scrub_token: str = "[TOXIC]"
+
+
+@dataclass
 class PipelineConfig:
     """Top-level knobs for the flagship pipeline and its stages."""
 
@@ -78,6 +91,7 @@ class PipelineConfig:
                                      # that would drop the columns anyway)
     review: ReviewConfig = field(default_factory=ReviewConfig)
     quality: QualityConfig = field(default_factory=QualityConfig)
+    toxicity: ToxicityConfig = field(default_factory=ToxicityConfig)
 
     # Ray execution knobs (sized for one 32-cpu node; scale linearly per node).
     detect_batch_size: int = 2048

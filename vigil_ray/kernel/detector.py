@@ -27,7 +27,7 @@ from vigil_ray.kernel.names import find_names_heuristic
 from vigil_ray.kernel.patterns import Detection
 from vigil_ray.kernel.preprocess import normalize_text
 
-REAL_PII_TYPES = frozenset({"cpf", "email", "telefone", "rg", "nome"})
+REAL_PII_TYPES = frozenset({"cpf", "email", "telefone", "rg", "nome", "ssn", "cartao"})
 CONTEXTUAL_TYPES = frozenset({"contexto_1pessoa", "endereco", "contato"})
 
 # Conservative candidate prefilter: every real-PII pattern needs a digit, an

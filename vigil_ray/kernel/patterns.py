@@ -65,6 +65,56 @@ RX_PHONE_CTX = re.compile(
 )
 RX_RG = re.compile(r"\bRG[:\s]*[\d.-]+", re.IGNORECASE)
 
+# --- north-star extensions beyond the reference bank (BASELINE.json
+# north_star: "CPF/SSN, credit cards") -------------------------------------
+# US SSN, strict AAA-GG-SSSS surface form; boundaries exclude longer digit
+# runs (SEI/processo numbers use '/' and 5+-digit groups, so they can't match).
+RX_SSN = re.compile(r"\b\d{3}-\d{2}-\d{4}\b")
+# Credit-card candidate: 13-19 digits in space/hyphen groups. The lookbehind
+# rejects starts inside a longer number, after '+' (intl phone) or '.'
+# (formatted CPF); the lookahead rejects a following digit. Acceptance
+# additionally requires a Luhn-valid 13-19 digit payload — unlike CPF, the
+# north_star implies card *validation*, so accidental digit runs (protocol
+# numbers, concatenated ids) are rejected arithmetically.
+RX_CARD = re.compile(r"(?<![\d.+-])(?:\d[ -]?){12,18}\d(?![\d-])")
+
+
+_CARD_SPLIT = re.compile(r"[ -]")
+
+
+def _card_shape_ok(value: str) -> bool:
+    """Separator-grouped candidates must be grouped like real cards
+    (4-4-4-4, 4-6-5, 4-6-4 — first group of 4, later groups 4-6 digits);
+    rejects processo/protocol numbers like ``00015-00568900`` that can pass
+    Luhn by chance. Contiguous digit runs are shape-free."""
+    groups = _CARD_SPLIT.split(value)
+    if len(groups) == 1:
+        return True
+    return len(groups[0]) == 4 and all(len(g) in (4, 5, 6) for g in groups[1:])
+
+
+def _card_accept(text: str, m: "re.Match") -> bool:
+    digits = _DIGITS_ONLY.sub("", m.group())
+    return (
+        13 <= len(digits) <= 19
+        and _card_shape_ok(m.group())
+        and luhn_valid(digits)
+        and not _in_sei_window(text, m.start())
+    )
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn mod-10 checksum over an all-digit string."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
 # --- anti-false-positive window guards -------------------------------------
 RX_SEI_GUARDS = tuple(
     re.compile(p, re.IGNORECASE)
@@ -194,6 +244,28 @@ def find_rg(text: str) -> List[Detection]:
     ]
 
 
+def find_ssn(text: str) -> List[Detection]:
+    return [
+        Detection("ssn", m.group(), 0.95, m.start(), m.end())
+        for m in RX_SSN.finditer(text)
+    ]
+
+
+def find_card(text: str) -> List[Detection]:
+    """Luhn-validated card numbers, deduplicated by digit string."""
+    out: List[Detection] = []
+    seen: set = set()
+    for m in RX_CARD.finditer(text):
+        if not _card_accept(text, m):
+            continue
+        digits = _DIGITS_ONLY.sub("", m.group())
+        if digits in seen:
+            continue
+        out.append(Detection("cartao", m.group(), 0.95, m.start(), m.end()))
+        seen.add(digits)
+    return out
+
+
 def scan_document(text):
     """One pass over every structured pattern -> ``(detections, scrub_spans)``.
 
@@ -254,12 +326,31 @@ def scan_document(text):
         spans.append(d)
         detections.append(d)
 
+    # north-star extension layers, appended after the reference's fixed order
+    # so first-appearance type ordering is unchanged for reference inputs
+    for m in RX_SSN.finditer(text):
+        d = Detection("ssn", m.group(), 0.95, m.start(), m.end())
+        spans.append(d)
+        detections.append(d)
+
+    seen_card: set = set()
+    for m in RX_CARD.finditer(text):
+        if not _card_accept(text, m):
+            continue
+        digits = _DIGITS_ONLY.sub("", m.group())
+        d = Detection("cartao", m.group(), 0.95, m.start(), m.end())
+        spans.append(d)
+        if digits not in seen_card:
+            detections.append(d)
+            seen_card.add(digits)
+
     return detections, spans
 
 
 def find_structured(text):
-    """All structured PII, in the reference's fixed layer order
-    (cpf -> email -> phone -> rg; reference src/patterns.py:125-156)."""
+    """All structured PII: the reference's fixed layer order
+    (cpf -> email -> phone -> rg; reference src/patterns.py:125-156) plus the
+    north-star extension layers (ssn -> cartao) appended after it."""
     return scan_document(text)[0]
 
 

@@ -23,6 +23,7 @@ from vigil_ray.config import PipelineConfig
 from vigil_ray.stages.detect import detect_stage
 from vigil_ray.stages.extract import extract_stage
 from vigil_ray.stages.quality import quality_stage
+from vigil_ray.stages.toxicity import toxicity_stage
 
 
 def quality_filter(
@@ -43,6 +44,11 @@ def quality_filter(
         ds = ds.drop_columns(["html"])
     ds = quality_stage(ds, cfg, concurrency=quality_concurrency)
     ds = detect_stage(ds, cfg)
+    # toxicity gate last: masks toxic tokens inside the PII-scrubbed text and
+    # flips keep/drop_reasons for toxic documents (north-star scrub order:
+    # PII placeholders first, toxicity mask over the result)
+    ds = toxicity_stage(ds, cfg, scrub_column="text_scrubbed",
+                        concurrency=quality_concurrency)
     return ds
 
 

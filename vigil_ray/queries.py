@@ -26,14 +26,15 @@ import pyarrow as pa
 from vigil_ray.config import PipelineConfig
 
 # pages families with real PII (sources/pages.py FAMILIES table)
-PII_FAMILIES = (0, 1, 2, 3, 5, 7, 8, 13, 14)
+PII_FAMILIES = (0, 1, 2, 3, 5, 7, 8, 13, 14, 17, 18)
 DROP_FAMILIES = (10, 11, 12)
+TOXIC_FAMILY = 19
 
 # SQL fragment: the scrubbed suffix each family appends (by construction,
 # mirrors kernel scrub semantics over sources/pages.py FAMILIES — see
 # tests/test_queries_oracle.py for the cross-check).
 _SCRUB_SUFFIX_CASE = """
-CASE doc_id % 17
+CASE doc_id % 20
   WHEN 0 THEN ' Atenção. Meu CPF é [CPF] para contato.'
   WHEN 1 THEN ' Contato: [EMAIL] obrigado.'
   WHEN 2 THEN ' [TELEFONE] ligar à tarde.'
@@ -49,6 +50,9 @@ CASE doc_id % 17
   WHEN 13 THEN ' [TELEFONE] após as 18h.'
   WHEN 14 THEN ' [TELEFONE] e email [EMAIL] juntos.'
   WHEN 15 THEN ' Nis: 98765432165 para consulta.'
+  WHEN 17 THEN ' SSN: [SSN] informado.'
+  WHEN 18 THEN ' Cartão [CARTAO] cadastrado.'
+  WHEN 19 THEN ' você é um idiota estúpido e eu odeio isso.'
   ELSE ''
 END
 """
@@ -677,6 +681,17 @@ def q_pages_lang_stats(sf_dir: str):
     return stratified_lang_stats(ds)
 
 
+def q_pages_toxicity(sf_dir: str):
+    """Toxicity score + scrub over the pages corpus (north_star: "PII/toxicity
+    scrub"). Standalone stage mode: scores ``text`` and emits the toxic-masked
+    form; ground truth is family arithmetic (family 19 injects exactly three
+    toxic tokens, base docs' closed vocabulary contains none)."""
+    from vigil_ray.stages.toxicity import toxicity_stage
+
+    ds = toxicity_stage(_pages_ds(sf_dir), PipelineConfig())
+    return ds.select_columns(["url", "n_tox", "is_toxic", "text_tox_scrubbed"])
+
+
 def q_confidence_histogram(sf_dir: str):
     """A4: fixed-bin confidence histogram over PII-positive pages."""
     from vigil_ray.stages.detect import detect_stage
@@ -751,10 +766,10 @@ WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {threshold}
 # SQL fragment: the full (unscrubbed) page text per family, for payload
 # reconstruction oracles. Mirrors sources/pages.py _page_text.
 _PAGE_TEXT_EXPR = """
-CASE WHEN doc_id % 17 = 10 THEN
+CASE WHEN doc_id % 20 = 10 THEN
   array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ')
 ELSE trim(text ||
-  CASE doc_id % 17
+  CASE doc_id % 20
     WHEN 0 THEN ' Atenção. Meu CPF é 123.456.789-00 para contato.'
     WHEN 1 THEN ' Contato: user' || CAST(doc_id AS VARCHAR) || '@example.test obrigado.'
     WHEN 2 THEN ' Telefone: (61) 99999-8888 ligar à tarde.'
@@ -770,6 +785,9 @@ ELSE trim(text ||
     WHEN 13 THEN ' whatsapp: 61 99999 8888 após as 18h.'
     WHEN 14 THEN ' +55 11 98888-7777 e email ana' || CAST(doc_id AS VARCHAR) || '@mail.test juntos.'
     WHEN 15 THEN ' Nis: 98765432165 para consulta.'
+    WHEN 17 THEN ' SSN: 123-45-6789 informado.'
+    WHEN 18 THEN ' Cartão 4111 1111 1111 1111 cadastrado.'
+    WHEN 19 THEN ' você é um idiota estúpido e eu odeio isso.'
     ELSE ''
   END)
 END
@@ -820,6 +838,7 @@ def queries() -> Dict[str, Callable]:
         "distinct_langs": q_distinct_langs,
         "union_names": q_union_names,
         "pages_lang_stats": q_pages_lang_stats,
+        "pages_toxicity": q_pages_toxicity,
         "confidence_histogram": q_confidence_histogram,
         "eval_boolean_labels": q_eval_boolean_labels,
     }
@@ -859,11 +878,11 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "pages_pii_labels": (
             f"SELECT {_URL_EXPR} AS url, "
-            f"(doc_id % 17) IN ({pii_set}) AS contem_pii FROM documents"
+            f"(doc_id % 20) IN ({pii_set}) AS contem_pii FROM documents"
         ),
         "pages_scrubbed": (
             f"SELECT {_URL_EXPR} AS url, "
-            f"CASE WHEN doc_id % 17 = 10 THEN "
+            f"CASE WHEN doc_id % 20 = 10 THEN "
             "array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ') "
             f"ELSE trim(text || {_SCRUB_SUFFIX_CASE}) END AS text_scrubbed "
             "FROM documents"
@@ -872,11 +891,11 @@ def oracle_sql() -> Dict[str, str]:
             # integer sum() in DuckDB yields hugeint/decimal128 — cast back to
             # BIGINT so the driver's value hash matches the engine's int64
             "SELECT count(*) AS total, "
-            f"CAST(sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS com_pii "
+            f"CAST(sum(CASE WHEN (doc_id % 20) IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS com_pii "
             "FROM documents"
         ),
         "pages_type_counts": (
-            "WITH fam AS (SELECT doc_id % 17 AS f FROM documents), "
+            "WITH fam AS (SELECT doc_id % 20 AS f FROM documents), "
             "m AS ( "
             "  SELECT f, unnest(CASE "
             "    WHEN f IN (0, 7, 8) THEN ['cpf'] "
@@ -885,13 +904,15 @@ def oracle_sql() -> Dict[str, str]:
             "    WHEN f = 3 THEN ['rg'] "
             "    WHEN f = 5 THEN ['nome'] "
             "    WHEN f = 14 THEN ['telefone', 'email'] "
+            "    WHEN f = 17 THEN ['ssn'] "
+            "    WHEN f = 18 THEN ['cartao'] "
             "    ELSE [] END) AS tipo FROM fam) "
             "SELECT tipo, count(*) AS n FROM m GROUP BY tipo"
         ),
         "eval_confusion": (
             "SELECT count(*) AS total, "
-            f"CAST(sum(CASE WHEN (doc_id % 17) IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
-            f"CAST(sum(CASE WHEN (doc_id % 17) NOT IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS tn, "
+            f"CAST(sum(CASE WHEN (doc_id % 20) IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+            f"CAST(sum(CASE WHEN (doc_id % 20) NOT IN ({pii_set}) THEN 1 ELSE 0 END) AS BIGINT) AS tn, "
             "CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn FROM documents"
         ),
         "ann_cosine_top10": (
@@ -947,18 +968,18 @@ def oracle_sql() -> Dict[str, str]:
         # digit string, so the 11-digit bare match survives dedup too)
         "review_items": (
             f"SELECT {_URL_EXPR} AS id, "
-            "CASE doc_id % 17 WHEN 3 THEN 'rg' WHEN 5 THEN 'nome' "
+            "CASE doc_id % 20 WHEN 3 THEN 'rg' WHEN 5 THEN 'nome' "
             "  WHEN 7 THEN 'cpf' WHEN 8 THEN 'cpf' WHEN 13 THEN 'telefone' "
             "  WHEN 14 THEN 'telefone' END AS tipo_pii, "
-            "CASE doc_id % 17 WHEN 3 THEN 'RG: 12.345.678-9' "
+            "CASE doc_id % 20 WHEN 3 THEN 'RG: 12.345.678-9' "
             "  WHEN 5 THEN 'João da Silva Pereira' WHEN 7 THEN '12345678908' "
             "  WHEN 8 THEN '123456789-00' WHEN 13 THEN 'whatsapp: 61 99999 8888' "
             "  WHEN 14 THEN '11 98888-7777' END AS valor_detectado, "
-            "CAST(CASE doc_id % 17 WHEN 3 THEN 0.85 WHEN 5 THEN 0.80 "
+            "CAST(CASE doc_id % 20 WHEN 3 THEN 0.85 WHEN 5 THEN 0.80 "
             "  WHEN 7 THEN 0.90 WHEN 8 THEN 0.90 WHEN 13 THEN 0.90 "
             "  WHEN 14 THEN 0.80 END AS DOUBLE) AS score, "
             "'score_medio' AS motivo, 'baixa' AS prioridade "
-            "FROM documents WHERE doc_id % 17 IN (3, 5, 7, 8, 13, 14)"
+            "FROM documents WHERE doc_id % 20 IN (3, 5, 7, 8, 13, 14)"
         ),
         # ann_ivf_top10: approximate — deliberately rows-only
         "order_priority_items": (
@@ -1002,12 +1023,21 @@ def oracle_sql() -> Dict[str, str]:
             "CAST(sum(array_length(regexp_split_to_array(trim(t), '\\s+'))) AS BIGINT) AS sum_n_words "
             "FROM p GROUP BY lang"
         ),
+        "pages_toxicity": (
+            f"SELECT {_URL_EXPR} AS url, "
+            "CAST(CASE WHEN doc_id % 20 = 19 THEN 3 ELSE 0 END AS BIGINT) AS n_tox, "
+            "doc_id % 20 = 19 AS is_toxic, "
+            f"CASE WHEN doc_id % 20 = 19 THEN "
+            "trim(text || ' você é um [TOXIC] [TOXIC] e eu [TOXIC] isso.') "
+            f"ELSE ({_PAGE_TEXT_EXPR}) END AS text_tox_scrubbed "
+            "FROM documents"
+        ),
         "confidence_histogram": (
             "WITH bins(bin_low) AS (VALUES (0.0), (0.5), (0.6), (0.7), (0.8), (0.9)), "
-            "c AS (SELECT CASE WHEN doc_id % 17 IN (3, 5) THEN 0.8 "
-            "  WHEN doc_id % 17 IN (0, 1, 2, 7, 8, 13, 14) THEN 0.9 END AS bin_low, "
+            "c AS (SELECT CASE WHEN doc_id % 20 IN (3, 5) THEN 0.8 "
+            "  WHEN doc_id % 20 IN (0, 1, 2, 7, 8, 13, 14, 17, 18) THEN 0.9 END AS bin_low, "
             "  count(*) AS n FROM documents "
-            "  WHERE doc_id % 17 IN (0, 1, 2, 3, 5, 7, 8, 13, 14) GROUP BY 1) "
+            "  WHERE doc_id % 20 IN (0, 1, 2, 3, 5, 7, 8, 13, 14, 17, 18) GROUP BY 1) "
             "SELECT CAST(b.bin_low AS DOUBLE) AS bin_low, coalesce(c.n, 0) AS n "
             "FROM bins b LEFT JOIN c USING (bin_low)"
         ),

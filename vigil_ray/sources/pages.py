@@ -4,7 +4,7 @@ Synthesizes the flagship input ``(url:string, warc_ts:timestamp[us],
 html:binary, text:string, lang:string)`` from the driver's ``documents``
 table, injecting PII / anti-FP / quality-drop families keyed purely on the row
 index so expected outcomes are known *by construction* (FIXTURES.md): a SQL
-oracle can compute ground-truth labels with ``k % 17`` arithmetic, no regex.
+oracle can compute ground-truth labels with ``k % 20`` arithmetic, no regex.
 
 Determinism: row ``k`` (``doc_id * multiplier + replica``) fully determines
 url, timestamp, injected suffix, html and text. No RNG anywhere.
@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 
 from vigil_ray.kernel.html import wrap_text
 
-N_FAMILIES = 17
+N_FAMILIES = 20
 
 # family id → (suffix template, has_pii, quality_drop)
 # Templates may use {k}. Families chosen to exercise every detection layer,
@@ -50,6 +50,10 @@ FAMILIES = {
     14: (" +55 11 98888-7777 e email ana{k}@mail.test juntos.", True, False),
     15: (" Nis: 98765432165 para consulta.", False, False),
     16: ("", False, False),  # clean
+    # north-star extension families (SSN, Luhn card, toxicity)
+    17: (" SSN: 123-45-6789 informado.", True, False),
+    18: (" Cartão 4111 1111 1111 1111 cadastrado.", True, False),
+    19: (" você é um idiota estúpido e eu odeio isso.", False, False),  # toxic
 }
 
 _EPOCH = datetime(2026, 1, 1)
@@ -169,3 +173,12 @@ def expected_has_pii(k: int) -> bool:
 
 def expected_quality_drop(k: int) -> bool:
     return FAMILIES[k % N_FAMILIES][2]
+
+
+TOXIC_FAMILY = 19
+# toxic tokens injected by the toxic family's suffix (idiota, estúpido, odeio)
+TOXIC_FAMILY_HITS = 3
+
+
+def expected_toxic(k: int) -> bool:
+    return k % N_FAMILIES == TOXIC_FAMILY
