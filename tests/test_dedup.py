@@ -147,3 +147,62 @@ def test_multimodal_payload_stage():
     # the real decoder is an explicit stub
     with pytest.raises(NotImplementedError):
         decode_image(payload)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_payload_md5_is_raw_bytes():
+    """Non-UTF-8 payloads must digest byte-for-byte (a decode-first digest
+    rewrites them with U+FFFD and collapses distinct payloads)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vigil_ray.stages.multimodal import payload_stage
+
+    payloads = [b"\xff\xfe\x00binary", b"\xff\xfd\x00binary", "texto é".encode()]
+    tbl = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(3)], pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = (
+        payload_stage(rd.from_arrow(tbl), batch_size=4, concurrency=1)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    expected = [hashlib.md5(p).hexdigest() for p in payloads]
+    assert list(out["payload_md5"]) == expected
+    assert len(set(out["payload_md5"])) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_pairs_exact_inverted_index():
+    """The exact inverted-shingle-index path (library form): verified against
+    brute-force Jaccard on a small distinctive-vocabulary corpus."""
+    import itertools
+
+    import ray.data as rd
+
+    from vigil_ray.kernel.textstats import word_ngrams
+    from vigil_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = {}
+    for i in range(12):
+        words = [f"tok{i}_{j}" for j in range(10)]
+        docs[i] = " ".join(words)
+        docs[100 + i] = " ".join(words + (["extra"] if i % 2 else []))
+
+    expected = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa = set(word_ngrams(docs[a], 2))
+        sb = set(word_ngrams(docs[b], 2))
+        if sa | sb and len(sa & sb) / len(sa | sb) >= 0.7:
+            expected.add((a, b))
+
+    ds = rd.from_items([{"vid": k, "text": v} for k, v in docs.items()])
+    out = ngram_jaccard_pairs(ds, ngram=2, threshold=0.7).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == expected and expected  # non-trivial pair set

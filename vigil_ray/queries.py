@@ -314,40 +314,26 @@ def q_dedup_minhash_pairs(sf_dir: str):
 
 
 def q_dedup_ngram_pairs(sf_dir: str):
-    """Exact word-2-gram Jaccard pairs ≥ 0.7, blockwise-broadcast scan."""
-    import ray
+    """Word-2-gram Jaccard pairs ≥ 0.7 via LSH-band candidates + EXACT
+    2-gram verification (candidate pairs hash-join back to the corpus) — no
+    driver materialization, no corpus broadcast, no all-pairs scan. True
+    pairs here have J ≥ 0.9, where the 32×4 banding miss probability is
+    ~1.5e-15 per pair. The exact-complete alternative
+    (stages/dedup.ngram_jaccard_pairs, inverted shingle index) degrades on
+    this corpus's closed 31-word vocabulary: every 2-gram is a stop-shingle,
+    so its pair-count groupby degenerates to all-pairs (measured 50 s vs
+    ~6 s for this form at sf0.01)."""
+    from vigil_ray.stages.dedup import minhash_lsh_pairs
 
-    from vigil_ray.kernel.textstats import word_ngrams
-
-    ds = _variants_ds(sf_dir)
-    pdf = ds.to_pandas()
-    shingles = {v: frozenset(word_ngrams(t, 2)) for v, t in zip(pdf["vid"], pdf["text"])}
-    ref = ray.put(shingles)
-
-    def scan(batch: pa.Table) -> pa.Table:
-        all_sh = ray.get(ref)
-        items = sorted(all_sh.items())
-        keep_a, keep_b = [], []
-        for vid in batch.column("vid").to_pylist():
-            sa = all_sh[vid]
-            for other, sb in items:
-                if other <= vid:
-                    continue
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                if union and inter / union >= 0.7:
-                    keep_a.append(vid)
-                    keep_b.append(other)
-        return pa.table(
-            {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
-        )
-
-    return ds.map_batches(scan, batch_format="pyarrow", batch_size=512)
+    return minhash_lsh_pairs(_variants_ds(sf_dir), threshold=0.7, ngram=2)
 
 
 def q_dedup_simhash_pairs(sf_dir: str):
-    """SimHash Hamming≤3 candidate pairs (probabilistic sketch — rows-only
-    driver check; behavior pinned in tests/test_dedup.py)."""
+    """SimHash Hamming≤3 pairs — exactly oracle-checked: the kernel's
+    per-word hash is md5[:8] so the SQL oracle recomputes the identical
+    64-bit signatures and per-bit Hamming distances (the 4×16-bit chunk
+    banding is pigeonhole-complete at distance ≤3, so engine and oracle pair
+    sets must match exactly)."""
     from vigil_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_variants_ds(sf_dir), max_distance=3)
@@ -494,8 +480,10 @@ def q_review_items(sf_dir: str):
 
 
 def q_ann_ivf_top10(sf_dir: str):
-    """IVF approximate top-k (scale path; probabilistic — rows-only driver
-    check, recall pinned in tests/test_ann.py)."""
+    """IVF approximate top-k (scale path). Genuinely approximate — the only
+    remaining rows-only driver check, by design: cell probing trades recall
+    for compute. The recall bound (recall@10 ≥ 0.7 vs brute force at
+    n_probe=4 of 16 cells) is pinned in tests/test_ann.py."""
     import pyarrow.parquet as pq
 
     import numpy as np
@@ -623,19 +611,27 @@ def q_top3_docs_per_lang(sf_dir: str):
 
 
 def q_doc_length_quantiles(sf_dir: str):
-    """Exact order-statistic quantiles of document length (p25/p50/p90):
-    rank k = floor((n-1)·q) of the (n_chars, doc_id) global sort. The
-    distributed form streams only k+1 rows through ``sort → limit`` — order
-    statistics without materializing the corpus (exact, unlike sketch-based
-    quantile estimates, and byte-for-byte checkable in SQL)."""
-    ds = _docs(sf_dir, ["doc_id", "n_chars"])
-    n = ds.count()
+    """Exact order-statistic quantiles of document length (p25/p50/p90) via
+    value-histogram selection: ONE ``groupby(n_chars).count()`` pass (partial
+    pre-aggregation inside blocks, shuffle moves only (value, count) rows),
+    then rank selection over the tiny histogram on the driver. Exact —
+    rank-k order statistics of an integer column depend only on value counts
+    — with no corpus sort and nothing corpus-sized ever materialized (the
+    previous form ran a full distributed sort per quantile and streamed k+1
+    rows to the driver)."""
+    ds = _docs(sf_dir, ["n_chars"])
+    hist = ds.groupby("n_chars").count().to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    counts = hist["count()"].to_numpy()
+    values = hist["n_chars"].to_numpy()
+    cum = counts.cumsum()
+    n = int(cum[-1])
     qs_out, vals = [], []
     for q in (0.25, 0.5, 0.9):
         k = int((n - 1) * q)
-        row = ds.sort(["n_chars", "doc_id"]).limit(k + 1).take_all()[-1]
+        idx = int((cum <= k).sum())  # first bucket whose cumulative count > k
         qs_out.append(q)
-        vals.append(int(row["n_chars"]))
+        vals.append(int(values[idx]))
     return pa.table(
         {
             "q": pa.array(qs_out, pa.float64()),
@@ -923,7 +919,33 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "dedup_minhash_pairs": _jaccard_pairs_sql(3, 0.5),
         "dedup_ngram_pairs": _jaccard_pairs_sql(2, 0.7),
-        # dedup_simhash_pairs: probabilistic sketch — deliberately rows-only
+        # independent recomputation of the full SimHash pipeline in SQL: the
+        # kernel's per-word hash is md5[:8] (big-endian) precisely so DuckDB
+        # can rebuild the 64 bit-votes and compare per-bit Hamming distance
+        "dedup_simhash_pairs": f"""
+WITH {_VARIANTS_CTE},
+words AS (
+  SELECT vid, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM variants
+),
+wh AS (
+  SELECT vid, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h FROM words
+),
+bits AS (
+  SELECT vid, i,
+         CASE WHEN sum(CASE WHEN (h >> (63 - i)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM wh, unnest(range(64)) AS t(i)
+  GROUP BY vid, i
+),
+pairdist AS (
+  SELECT a.vid AS a, b.vid AS b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d
+  FROM bits a JOIN bits b ON a.i = b.i AND a.vid < b.vid
+  GROUP BY a.vid, b.vid
+)
+SELECT a, b FROM pairdist WHERE d <= 3
+""",
         "dedup_embedding_pairs": (
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -946,6 +968,9 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_payload_meta": (
             f"SELECT {_URL_EXPR} AS url, "
             f"octet_length(encode({_HTML_EXPR})) AS n_bytes, "
+            # md5(VARCHAR) digests the string's UTF-8 bytes == the engine's
+            # raw-bytes md5 for this UTF-8 fixture (this DuckDB build has no
+            # md5(BLOB)); the non-UTF-8 case is pinned in tests/test_sources.py
             f"md5({_HTML_EXPR}) AS payload_md5 "
             "FROM documents"
         ),
@@ -1009,7 +1034,8 @@ def oracle_sql() -> Dict[str, str]:
             "WITH ranked AS (SELECT n_chars, row_number() OVER "
             "  (ORDER BY n_chars, doc_id) - 1 AS rk, count(*) OVER () AS n "
             "  FROM documents) "
-            "SELECT q, n_chars FROM (VALUES (0.25), (0.5), (0.9)) AS qs(q) "
+            "SELECT CAST(q AS DOUBLE) AS q, n_chars "
+            "FROM (VALUES (0.25), (0.5), (0.9)) AS qs(q) "
             "JOIN ranked ON ranked.rk = CAST(floor((ranked.n - 1) * qs.q) AS BIGINT)"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

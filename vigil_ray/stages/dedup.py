@@ -16,14 +16,20 @@ north-rule / training-data-pipeline capabilities, built Ray-Data-first:
 - **SimHash**: 64-bit signature; 4×16-bit chunk banding finds candidates
   within Hamming distance ≤3 (pigeonhole: ≤3 differing bits leave ≥1 chunk
   intact).
-- **embedding-cosine**: exact blockwise pair scan (each batch × broadcast
-  matrix) — O(n²/B) per task, deterministic; at 10⁹+ vectors swap the
-  broadcast for the IVF/LSH bucketing in ``vigil_ray.stages.ann``.
+- **n-gram Jaccard (exact)**: inverted shingle index — explode
+  (shingle_hash, id, set_size) rows, bucket by shingle, explode co-occurring
+  pairs, count shared shingles per pair, filter by exact Jaccard. Fully
+  distributed; the shuffle carries (hash, id, size) rows, never documents.
+- **embedding-cosine**: exact all-pairs via block-pair tasks — the corpus is
+  normalized once into object-store blocks, and each task scans one
+  (block_i, block_j) pair. O(n²) work is inherent to exact all-pairs; it is
+  distributed over B(B+1)/2 tasks with two blocks of memory each, and the
+  driver holds only block refs. At 10⁹+ vectors swap for the IVF/LSH
+  bucketing in ``vigil_ray.stages.ann``.
 
-Verification needs document shingles; at these scales the small side is
-broadcast via ``ray.put`` (read once per task). At 10¹²-document scale the
-candidate pairs would instead hash-join back to the corpus on id — the
-partitioning key (id) is already in place for that.
+Verification needs document text: candidate (a, b) pairs hash-join back to
+the corpus on id (``Dataset.join``) to attach both sides — nothing
+corpus-sized is ever collected to the driver or broadcast.
 """
 
 from __future__ import annotations
@@ -91,15 +97,18 @@ def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar 2002)."""
+    """64-bit SimHash over word features (Charikar 2002).
+
+    The per-word hash is the first 8 bytes of md5 (big-endian) — chosen so a
+    SQL oracle can recompute the identical signature (DuckDB ``md5`` +
+    hex-cast + bit arithmetic; see ``vigil_ray.queries`` ``dedup_simhash_pairs``),
+    turning a previously unverifiable sketch into an exactly-checked one."""
     words = text.lower().split()
     if not words:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for w in words:
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
         bits = np.unpackbits(
             np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
         ).astype(np.int64)
@@ -125,12 +134,17 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket: int = 200,
+    ngram: int = 3,
 ):
-    """Near-duplicate pairs (a < b, exact Jaccard ≥ threshold).
+    """Near-duplicate pairs (a < b, exact word-``ngram`` Jaccard ≥ threshold).
 
     ``max_bucket`` caps pair explosion from a degenerate bucket (e.g. the
     empty-text bucket); capped buckets are truncated to their first
     ``max_bucket`` members by id — log-worthy at scale, exact here.
+
+    Candidate recall: with b=32 bands × r=4 rows a true pair at J=t is missed
+    with p=(1-t⁴)³². Verification is exact, so output precision is always 1;
+    at J ≥ 0.9 (any near-duplicate worth the name) p ≈ 1.5e-15.
     """
     import ray
     import pandas as pd
@@ -140,7 +154,7 @@ def minhash_lsh_pairs(
         for vid, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
-            sig = minhash_signature(text or "")
+            sig = minhash_signature(text or "", ngram)
             for b, h, v in band_rows(vid, sig):
                 bids.append(b)
                 bhashes.append(h)
@@ -185,21 +199,48 @@ def minhash_lsh_pairs(
     # distinct candidate pairs (same pair surfaces from several bands)
     cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
-    texts_pdf = ds.select_columns([id_col, text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(texts_pdf[id_col], texts_pdf[text_col])))
+    with_texts = _attach_pair_texts(cand, ds, id_col, text_col)
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
         keep_a, keep_b = [], []
-        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            if jaccard(texts.get(a, ""), texts.get(b, "")) >= threshold:
+        for a, b, ta, tb in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        ):
+            if jaccard(ta or "", tb or "", ngram) >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
         return pa.table(
             {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return with_texts.map_batches(verify, batch_format="pyarrow")
+
+
+def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int = 8):
+    """Hash-join candidate (a, b) pairs back to the corpus on id — twice — to
+    attach both documents' text. The shuffle carries candidate pairs plus the
+    joined text values; the corpus is never collected to the driver or
+    broadcast whole (the 100-TB-safe verify path)."""
+
+    corpus = ds.select_columns([id_col, text_col])
+
+    def _grab(batch: pa.Table, out_name: str) -> pa.Table:
+        cols = {"a": batch.column("a"), "b": batch.column("b")}
+        if "text_a" in batch.column_names:
+            cols["text_a"] = batch.column("text_a")
+        cols[out_name] = batch.column(text_col)
+        return pa.table(cols)
+
+    j1 = cand.join(
+        corpus, "inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,)
+    ).map_batches(lambda b: _grab(b, "text_a"), batch_format="pyarrow")
+    j2 = j1.join(
+        corpus, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
+    ).map_batches(lambda b: _grab(b, "text_b"), batch_format="pyarrow")
+    return j2
 
 
 def simhash_pairs(
@@ -223,7 +264,10 @@ def simhash_pairs(
                 cids.append(c)
                 chashes.append((sig >> (16 * c)) & 0xFFFF)
                 vids.append(vid)
-                sigs.append(sig - (1 << 63) if sig >= (1 << 63) else sig)
+                # two's-complement fold into int64 (sig - 2^64, NOT 2^63 —
+                # the latter silently clears the MSB and undercounts Hamming
+                # distance; caught by the SQL oracle)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pa.table(
             {
                 "chunk_id": pa.array(cids, pa.int32()),
@@ -267,39 +311,175 @@ def simhash_pairs(
     return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "vid",
+    text_col: str = "text",
+    ngram: int = 2,
+    threshold: float = 0.7,
+    max_df: int | None = None,
+):
+    """EXACT word-n-gram Jaccard pairs (a < b, J ≥ threshold) via an inverted
+    shingle index — the distributed replacement for an all-pairs scan:
+
+    1. per-batch: explode each document's DISTINCT shingles as
+       (shingle_hash, id, set_size) rows;
+    2. groupby(shingle) collects co-occurring (id, size) members per shingle
+       (collect-list ``AggregateFn``, not per-group UDFs);
+    3. explode member pairs carrying both set sizes;
+    4. groupby(pair) count = intersection size; Jaccard from |A|,|B|,|A∩B|.
+
+    Every shuffle moves (hash, id, size) tuples — documents never move. The
+    shingle key is a 64-bit blake2b hash (collision odds ~n²·2⁻⁶⁴,
+    negligible). ``max_df`` optionally skips shingles shared by more than
+    that many documents — the scale valve against stop-shingle pair blowup;
+    leave ``None`` for exactness (a skipped shingle lowers measured overlap).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.kernel.textstats import word_ngrams
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        sh, vids, szs = [], [], []
+        for vid, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            grams = set(word_ngrams(text or "", ngram))
+            for g in grams:
+                sh.append(
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    >> 1
+                )
+                vids.append(vid)
+                szs.append(len(grams))
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "vid": pa.array(vids, pa.int64()),
+                "sz": pa.array(szs, pa.int64()),
+            }
+        )
+
+    shingles = ds.map_batches(to_shingles, batch_format="pyarrow")
+
+    collect_members = AggregateFn(
+        init=lambda k: [],
+        merge=lambda left, right: left + right,
+        name="members",
+        accumulate_block=lambda acc, block: acc
+        + list(zip(block.column("vid").to_pylist(), block.column("sz").to_pylist())),
+    )
+    buckets = shingles.groupby("sh").aggregate(collect_members)
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a_, b_, sa_, sb_ = [], [], [], []
+        for members in batch.column("members").to_pylist():
+            if max_df is not None and len(members) > max_df:
+                continue
+            rows = sorted(tuple(m) for m in members)
+            for i in range(len(rows)):
+                va, sa = rows[i]
+                for j in range(i + 1, len(rows)):
+                    vb, sb = rows[j]
+                    a_.append(va)
+                    b_.append(vb)
+                    sa_.append(sa)
+                    sb_.append(sb)
+        return pa.table(
+            {
+                "a": pa.array(a_, pa.int64()),
+                "b": pa.array(b_, pa.int64()),
+                "sa": pa.array(sa_, pa.int64()),
+                "sb": pa.array(sb_, pa.int64()),
+            }
+        )
+
+    pairs = buckets.map_batches(explode_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    inter = pairs.groupby(["a", "b", "sa", "sb"]).aggregate(Count(alias_name="n"))
+
+    def by_jaccard(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b = [], []
+        for a, b, sa, sb, n in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("sa").to_pylist(),
+            batch.column("sb").to_pylist(),
+            batch.column("n").to_pylist(),
+        ):
+            union = sa + sb - n
+            if union and n / union >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table(
+            {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
+        )
+
+    return inter.map_batches(by_jaccard, batch_format="pyarrow")
+
+
 def embedding_pairs(
     ds,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    block_rows: int = 4096,
 ):
-    """Exact cosine near-dup pairs (a < b, cos ≥ threshold): each batch scans
-    against the broadcast normalized matrix. Deterministic and complete."""
+    """Exact cosine near-dup pairs (a < b, cos ≥ threshold) via block-pair
+    tasks: the corpus is normalized ONCE into object-store Arrow blocks, and
+    each task scans one (block_i, block_j) pair with a numpy matmul. The
+    driver holds only block refs — nothing corpus-sized is collected or
+    broadcast; per-task memory is two blocks. O(n²) compare work is inherent
+    to exact all-pairs and is spread over B(B+1)/2 independent tasks."""
     import ray
+    import ray.data as rd
 
-    pdf = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    ref = ray.put((ids, mat / norms))
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "nvec": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
 
-    def scan(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = np.asarray(batch.column(id_col).to_pylist())
-        bmat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        bnorms = np.linalg.norm(bmat, axis=1, keepdims=True)
-        bnorms[bnorms == 0] = 1.0
-        cos = (bmat / bnorms) @ all_mat.T
+    nds = ds.map_batches(normalize, batch_format="pyarrow", batch_size=block_rows)
+    refs = nds.to_arrow_refs()  # blocks stay in the object store
+    n_blocks = len(refs)
+    pair_ids = [
+        {"i": i, "j": j} for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+
+    def scan_block_pair(batch: pa.Table) -> pa.Table:
         keep_a, keep_b = [], []
-        for r in range(cos.shape[0]):
-            hits = np.where(cos[r] >= threshold)[0]
-            for c in hits:
-                if bids[r] < all_ids[c]:
-                    keep_a.append(int(bids[r]))
-                    keep_b.append(int(all_ids[c]))
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            ta, tb = ray.get(refs[i]), ray.get(refs[j])
+            ids_a = np.asarray(ta.column(id_col).to_pylist(), dtype=np.int64)
+            ids_b = np.asarray(tb.column(id_col).to_pylist(), dtype=np.int64)
+            ma = np.asarray(ta.column("nvec").to_pylist(), dtype=np.float64)
+            mb = np.asarray(tb.column("nvec").to_pylist(), dtype=np.float64)
+            cos = ma @ mb.T
+            for r, c in zip(*np.where(cos >= threshold)):
+                # same-block pairs: upper triangle only (each unordered pair
+                # once, no self-pairs); cross-block hits are unique per task
+                # but ids are not ordered across blocks — emit (min, max)
+                if i == j and r >= c:
+                    continue
+                a, b = int(ids_a[r]), int(ids_b[c])
+                if a > b:
+                    a, b = b, a
+                keep_a.append(a)
+                keep_b.append(b)
         return pa.table(
             {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
         )
 
-    return ds.map_batches(scan, batch_format="pyarrow", batch_size=1024)
+    pairs_ds = rd.from_items(pair_ids).repartition(len(pair_ids))
+    return pairs_ds.map_batches(scan_block_pair, batch_format="pyarrow")

@@ -20,8 +20,6 @@ from typing import Optional
 
 import pyarrow as pa
 
-from vigil_ray.kernel.textstats import md5_hex
-
 
 def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
     """Real decoder entry point (PIL/libjpeg): NOT available in this
@@ -58,7 +56,9 @@ class PayloadFeatures:
         payloads = batch.column(self.payload_col).to_pylist()
         keys = batch.column(self.key_col)
         n_bytes = [len(p or b"") for p in payloads]
-        md5s = [md5_hex((p or b"").decode("utf-8", errors="replace")) for p in payloads]
+        # digest the RAW bytes: decoding first would rewrite non-UTF-8
+        # payloads with U+FFFD and collapse distinct payloads to one digest
+        md5s = [hashlib.md5(p or b"").hexdigest() for p in payloads]
         metas = [fake_decode_meta(p or b"") for p in payloads]
         return pa.table(
             {

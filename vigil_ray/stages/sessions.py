@@ -1,36 +1,66 @@
 """Gap-based sessionization over the events log (streaming-shaped operator).
 
 Ray Data has no event-time windows (SURVEY.md §2.8): the idiomatic expression
-is to treat events as a partitioned log — shuffle by ``user_id``, order by
-``ts`` within each group, and run the window logic in ``map_groups`` pandas.
-A new session starts when the gap to the previous event exceeds the timeout.
+is to treat events as a partitioned log keyed by ``user_id``. Rather than
+``groupby(user).map_groups`` — which pays ~1 ms of UDF dispatch per GROUP
+(measured; 10⁸ users would spend hours in pure overhead) — the per-user
+timestamp lists are built with a collect-list ``AggregateFn`` (the same
+pattern as the LSH bucket aggregation, measured 18.5 s → 3.5 s there) and the
+window logic runs vectorized over whole batches of users.
 
-Partitioning assumption: one user's history fits one group (true for any
-realistic user; a pathological hot key would need ts-range salting plus a
+Partitioning assumption: one user's history fits one aggregated row (true for
+any realistic user; a pathological hot key would need ts-range salting plus a
 merge pass — documented, not needed here).
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def sessionize(ds, gap_minutes: int = 30):
     """→ (user_id, n_sessions, n_events, max_session_events)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    from ray.data.aggregate import AggregateFn
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = g["ts"].diff() > gap
-        session_ids = new_session.cumsum()
-        sizes = session_ids.groupby(session_ids).size()
-        return pd.DataFrame(
+    gap_us = gap_minutes * 60_000_000
+
+    def _ts_us(block) -> list:
+        # blocks may be Arrow or pandas depending on the upstream format;
+        # normalize to microsecond int64 either way (a raw pandas
+        # datetime64[ns].astype(int64) would silently be nanoseconds)
+        col = block.column("ts") if isinstance(block, pa.Table) else pa.array(block["ts"])
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()).to_pylist()
+
+    collect_ts = AggregateFn(
+        init=lambda k: [],
+        merge=lambda left, right: left + right,
+        name="ts_list",
+        accumulate_block=lambda acc, block: acc + _ts_us(block),
+    )
+    per_user = ds.groupby("user_id").aggregate(collect_ts)
+
+    def windows(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id")
+        n = batch.num_rows
+        n_sessions = [0] * n
+        n_events = [0] * n
+        max_events = [0] * n
+        for i, lst in enumerate(batch.column("ts_list").to_pylist()):
+            ts = np.sort(np.asarray(lst, dtype=np.int64))
+            breaks = np.flatnonzero(np.diff(ts) > gap_us)
+            sizes = np.diff(np.concatenate(([0], breaks + 1, [ts.size])))
+            n_sessions[i] = int(sizes.size)
+            n_events[i] = int(ts.size)
+            max_events[i] = int(sizes.max())
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sizes.shape[0])],
-                "n_events": [len(g)],
-                "max_session_events": [int(sizes.max())],
+                "user_id": users,
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "max_session_events": pa.array(max_events, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return per_user.map_batches(windows, batch_format="pyarrow")
