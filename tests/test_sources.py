@@ -89,3 +89,42 @@ def test_read_table_small_file_one_block():
     ds = read_table(f"{SF}/documents.parquet", columns=["doc_id"])
     # 65 KB file → 1 block: downstream shuffles stay trivial
     assert ds.materialize().num_blocks() == 1
+
+
+def test_read_xlsx_gated_on_engine():
+    """S1 shim: with no xlsx engine installed the error names the dependency;
+    with one installed the reader delegates to pandas.read_excel."""
+    import pytest
+
+    from vigil_ray.sources.textfiles import read_xlsx
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="openpyxl"):
+            read_xlsx("/tmp/nonexistent.xlsx")
+    else:  # pragma: no cover - env-dependent
+        with pytest.raises(FileNotFoundError):
+            read_xlsx("/tmp/nonexistent.xlsx")
+
+
+def test_ner_stage_resource_plumbing():
+    """cfg.ner_num_gpus/ner_num_cpus must reach map_batches (SURVEY §2.4 T1)."""
+    from vigil_ray.config import PipelineConfig
+    from vigil_ray.stages.ner import ner_detect_stage
+
+    class FakeDS:
+        kw = None
+
+        def map_batches(self, *a, **kw):
+            self.kw = kw
+            return self
+
+    ds = FakeDS()
+    ner_detect_stage(ds, PipelineConfig(use_ner=True, ner_num_gpus=0.25, ner_num_cpus=2.0))
+    assert ds.kw["num_gpus"] == 0.25
+    assert ds.kw["num_cpus"] == 2.0
+
+    ds2 = FakeDS()
+    ner_detect_stage(ds2, PipelineConfig(use_ner=True))
+    assert "num_gpus" not in ds2.kw and ds2.kw["num_cpus"] == 1.0

@@ -98,3 +98,8 @@ class PipelineConfig:
     quality_batch_size: int = 4096
     ner_batch_size: int = 64
     ner_concurrency: int = 4
+    # per-actor resources for the NER pool: set ner_num_gpus > 0 on GPU
+    # clusters (the model moves to the actor's assigned device); reference
+    # analog is the single in-process pipeline, SURVEY §2.4 T1
+    ner_num_cpus: float = 1.0
+    ner_num_gpus: float = 0.0

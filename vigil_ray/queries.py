@@ -267,14 +267,16 @@ def q_ann_cosine_top10(sf_dir: str):
     from vigil_ray.sources.readers import read_table
 
     ds = read_table(f"{sf_dir}/embeddings.parquet")
-    # deterministic query vector: the vec_id == 0 embedding
+    # deterministic query vector: the vec_id == 0 embedding, fetched with a
+    # row filter (row-group pushdown — not a second full read of the table)
     import pyarrow.parquet as pq
 
     emb = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "==", 0)],
     )
-    idx = emb.column("vec_id").to_pylist().index(0)
-    qvec = np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+    qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
     qref = ray.put(qvec / np.linalg.norm(qvec))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -491,9 +493,12 @@ def q_ann_ivf_top10(sf_dir: str):
     from vigil_ray.sources.readers import read_table
     from vigil_ray.stages.ann import ivf_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = emb.column("vec_id").to_pylist().index(0)
-    qvec = np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float64)
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ivf_topk(ds, qvec, k=10).select_columns(["vec_id"])
 

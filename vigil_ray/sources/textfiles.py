@@ -69,3 +69,26 @@ def _extract_records(payload) -> List[dict]:
         "unsupported JSON shape: expected a top-level array or an object "
         f"with one of the keys {JSON_ARRAY_KEYS}"
     )
+
+
+def read_xlsx(path: str, sheet: int = 0):
+    """XLSX → Dataset (reference S1, main.py:91-92: pandas.read_excel).
+
+    Import-gated: the xlsx engine (openpyxl) is not installed in this
+    container, so absence raises a clear ImportError naming the dependency —
+    the same declared-degrade policy as the NER model and media codecs. With
+    openpyxl present this is pandas.read_excel → ``from_pandas`` (xlsx files
+    are small operational inputs — label sheets, review exports — never the
+    100 TB path).
+    """
+    try:
+        import openpyxl  # noqa: F401 — the pandas xlsx engine
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "XLSX input needs openpyxl (pandas excel engine); install it at "
+            "deployment or convert the sheet to CSV/parquet"
+        ) from exc
+    import pandas as pd
+    import ray.data as rd
+
+    return rd.from_pandas(pd.read_excel(path, sheet_name=sheet))

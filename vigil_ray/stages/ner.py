@@ -152,11 +152,16 @@ def ner_detect_stage(
     deadlocks (observed on a 4-cpu session with 4 actors).
     """
     cfg = cfg or PipelineConfig(use_ner=True)
+    resources = {"num_cpus": cfg.ner_num_cpus}
+    if cfg.ner_num_gpus:
+        # fractional GPUs co-host several actors per device; Ray schedules
+        # the pool onto GPU nodes and sets CUDA_VISIBLE_DEVICES per actor
+        resources["num_gpus"] = cfg.ner_num_gpus
     return ds.map_batches(
         NerNameDetector,
         fn_constructor_kwargs={"cfg": cfg, "model_factory": model_factory},
         batch_format="pyarrow",
         batch_size=cfg.ner_batch_size,
         concurrency=concurrency if concurrency is not None else cfg.ner_concurrency,
-        num_cpus=1,
+        **resources,
     )

@@ -50,7 +50,6 @@ class QualityScorer:
         cols = {name: [None] * n for name, _ in _FEATURE_COLS}
         lang_pred = [""] * n
         lang_score = [0.0] * n
-        ppl = [0.0] * n
         keep = [False] * n
         reasons: list = [[] for _ in range(n)]
 
