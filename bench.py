@@ -30,7 +30,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 MULTIPLIER = int(os.environ.get("GRAFT_MULTIPLIER", "120"))
-PAGES_CACHE = f"/tmp/vigil_bench/pages_{os.path.basename(SF_DIR)}_x{MULTIPLIER}_v3"
+# cache version: bump whenever sources/pages.py FAMILIES changes, or stale
+# corpora leak into the bench (v4 = 20-family table with ssn/card/toxic)
+PAGES_CACHE = f"/tmp/vigil_bench/pages_{os.path.basename(SF_DIR)}_x{MULTIPLIER}_v4"
 SHARD_FILES = 32
 
 

@@ -23,7 +23,6 @@ from vigil_ray.config import PipelineConfig
 from vigil_ray.stages.detect import detect_stage
 from vigil_ray.stages.extract import extract_stage
 from vigil_ray.stages.quality import quality_stage
-from vigil_ray.stages.toxicity import toxicity_stage
 
 
 def quality_filter(
@@ -35,7 +34,8 @@ def quality_filter(
 
     Output columns: url, warc_ts, lang, text, extract_ok, lang_pred,
     lang_score, ppl, quality features, keep, drop_reasons, contem_pii,
-    tipos_detectados, detalhes, sinais_contextuais, confianca, text_scrubbed.
+    tipos_detectados, detalhes, sinais_contextuais, confianca, text_scrubbed,
+    n_tox, tox_ratio, is_toxic.
     """
     cfg = cfg or PipelineConfig()
     names = ds.schema().names
@@ -43,12 +43,12 @@ def quality_filter(
         ds = extract_stage(ds, cfg)
         ds = ds.drop_columns(["html"])
     ds = quality_stage(ds, cfg, concurrency=quality_concurrency)
-    ds = detect_stage(ds, cfg)
-    # toxicity gate last: masks toxic tokens inside the PII-scrubbed text and
-    # flips keep/drop_reasons for toxic documents (north-star scrub order:
-    # PII placeholders first, toxicity mask over the result)
-    ds = toxicity_stage(ds, cfg, scrub_column="text_scrubbed",
-                        concurrency=quality_concurrency)
+    # detect + toxicity run as ONE fused pass (apply_toxicity=True): PII
+    # placeholders first, toxicity mask over the result, keep/drop_reasons
+    # flipped for toxic docs. A separate toxicity stage would either cost an
+    # extra string-column round-trip (task mode) or — as an actor pool next
+    # to the quality pool — reserve every session CPU and deadlock the reads.
+    ds = detect_stage(ds, cfg, apply_toxicity=True)
     return ds
 
 

@@ -50,12 +50,24 @@ def _detail_rows(triples, use_ner: bool) -> List[Dict[str, Any]]:
 
 class PiiDetectScrub:
     """Callable-class kernel for ``map_batches``. Stateless in data terms, but
-    a class so the compiled-regex bank and config bind once per worker."""
+    a class so the compiled-regex bank and config bind once per worker.
 
-    def __init__(self, cfg: Optional[PipelineConfig] = None):
+    ``apply_toxicity=True`` (the flagship path) folds the toxicity gate into
+    the SAME pass: score on the raw text, mask toxic tokens in the scrubbed
+    output, flip ``keep``/``drop_reasons`` when present — one string-column
+    extraction and one table rebuild instead of two back-to-back map stages
+    (semantics identical to running ``stages.toxicity`` after this stage;
+    pinned by the e2e oracle)."""
+
+    def __init__(
+        self, cfg: Optional[PipelineConfig] = None, apply_toxicity: bool = False
+    ):
         self.cfg = cfg or PipelineConfig()
+        self.apply_toxicity = apply_toxicity
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from vigil_ray.kernel.toxicity import score_toxicity, scrub_toxic
+
         texts = batch.column(self.cfg.text_column).to_pylist()
         n = len(texts)
         contem = [False] * n
@@ -64,12 +76,16 @@ class PiiDetectScrub:
         sinais: List[List[Dict[str, Any]]] = [[] for _ in range(n)]
         conf = [0.0] * n
         scrubbed = [""] * n
+        tox = self.apply_toxicity
+        tcfg = self.cfg.toxicity
+        n_tox = [0] * n
+        tox_ratio = [0.0] * n
+        is_toxic = [False] * n
 
         emit = self.cfg.emit_details
         for i, raw in enumerate(texts):
             try:
                 res, scrub = analyze_document(raw, self.cfg.scrub_token)
-                scrubbed[i] = scrub
                 if res["contem_pii"]:
                     contem[i] = True
                     tipos[i] = res["tipos_detectados"]
@@ -77,6 +93,13 @@ class PiiDetectScrub:
                     if emit:
                         detalhes[i] = _detail_rows(res["detalhes"], self.cfg.use_ner)
                         sinais[i] = _detail_rows(res["sinais_contextuais"], False)
+                if tox:
+                    n_tox[i], tox_ratio[i], is_toxic[i] = score_toxicity(
+                        raw or "", tcfg.min_hits, tcfg.min_ratio
+                    )
+                    if is_toxic[i]:
+                        scrub = scrub_toxic(scrub, tcfg.scrub_token)
+                scrubbed[i] = scrub
             except Exception:  # noqa: BLE001 — poison row → empty result
                 scrubbed[i] = ""
 
@@ -89,16 +112,40 @@ class PiiDetectScrub:
             out = out.append_column(
                 "sinais_contextuais", pa.array(sinais, DETAIL_TYPE)
             )
-        return out.append_column("confianca", pa.array(conf, pa.float64())).append_column(
+        out = out.append_column("confianca", pa.array(conf, pa.float64())).append_column(
             "text_scrubbed", pa.array(scrubbed, pa.string())
         )
+        if tox:
+            out = out.append_column("n_tox", pa.array(n_tox, pa.int64()))
+            out = out.append_column("tox_ratio", pa.array(tox_ratio, pa.float64()))
+            out = out.append_column("is_toxic", pa.array(is_toxic, pa.bool_()))
+            if "keep" in out.column_names and "drop_reasons" in out.column_names:
+                keep = out.column("keep").to_pylist()
+                reasons = out.column("drop_reasons").to_pylist()
+                for i, t in enumerate(is_toxic):
+                    if t:
+                        keep[i] = False
+                        reasons[i] = list(reasons[i]) + ["toxicity"]
+                out = out.set_column(
+                    out.column_names.index("keep"),
+                    "keep",
+                    pa.array(keep, pa.bool_()),
+                )
+                out = out.set_column(
+                    out.column_names.index("drop_reasons"),
+                    "drop_reasons",
+                    pa.array(reasons, pa.list_(pa.string())),
+                )
+        return out
 
 
-def detect_stage(ds, cfg: Optional[PipelineConfig] = None):
+def detect_stage(
+    ds, cfg: Optional[PipelineConfig] = None, apply_toxicity: bool = False
+):
     """Append detection + scrub columns to a Dataset with a ``text`` column."""
     cfg = cfg or PipelineConfig()
     return ds.map_batches(
-        PiiDetectScrub(cfg),
+        PiiDetectScrub(cfg, apply_toxicity=apply_toxicity),
         batch_format="pyarrow",
         batch_size=cfg.detect_batch_size,
     )

@@ -105,9 +105,25 @@ def toxicity_stage(
     cfg: Optional[PipelineConfig] = None,
     scrub_column: Optional[str] = None,
     concurrency=None,
+    pool: bool = True,
 ):
-    """Actor-pool toxicity scoring/scrub stage."""
+    """Toxicity scoring/scrub stage.
+
+    ``pool=True`` hosts the scorer as an actor pool (the model-hosting shape;
+    standalone use). ``pool=False`` passes a scorer INSTANCE instead — a
+    task-pool map that FUSES with an adjacent task-pool stage (the flagship
+    runs it fused with the detect map): a second fixed-size actor pool in the
+    same pipeline can reserve every session CPU together with the quality
+    pool and deadlock the read tasks (observed at 32 cpus with two 16-actor
+    pools; the term-set state is trivially picklable, so task mode loses
+    nothing)."""
     cfg = cfg or PipelineConfig()
+    if not pool:
+        return ds.map_batches(
+            ToxicityScorer(cfg, scrub_column),
+            batch_format="pyarrow",
+            batch_size=cfg.quality_batch_size,
+        )
     return ds.map_batches(
         ToxicityScorer,
         fn_constructor_kwargs={"cfg": cfg, "scrub_column": scrub_column},
