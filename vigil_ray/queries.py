@@ -725,6 +725,173 @@ def q_eval_boolean_labels(sf_dir: str):
     return _docs(sf_dir, ["doc_id"]).map_batches(build, batch_format="pyarrow")
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join: orders-per-customer with zero-order customers kept
+    (null → 0). Scale shape: pre-aggregate the fact table to (custkey,
+    count) FIRST (partial combine — the shuffle carries one row per
+    customer, not one per order), then a key-key left join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from vigil_ray.sources.readers import read_table
+
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    ocounts = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    joined = cust.join(
+        ocounts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch.column("n_orders"), pa.int64()), 0)
+        return pa.table({"c_custkey": batch.column("c_custkey"), "n_orders": n})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def q_customers_no_urgent_orders(sf_dir: str):
+    """Anti-join (customers with no 1-URGENT order) as pre-filter →
+    pre-aggregate → left-outer join → null filter — the distributed NOT
+    EXISTS pattern. (A plain customers-without-orders anti-join is empty in
+    this generator's data; the priority predicate makes the result
+    non-trivial at every sf.)"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from vigil_ray.sources.readers import read_table
+
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def urgent_only(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return batch.filter(mask).select(["o_custkey"])
+
+    urgent = orders.map_batches(urgent_only, batch_format="pyarrow")
+    ucounts = urgent.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    joined = cust.join(
+        ucounts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def only_missing(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("n"))
+        return batch.filter(mask).select(["c_custkey"])
+
+    return joined.map_batches(only_missing, batch_format="pyarrow")
+
+
+def q_events_value_stats(sf_dir: str):
+    """Mean / sample-stddev aggregates per event type (Ray ``Mean``/``Std``
+    partial merges vs SQL avg/stddev_samp; both sides rounded to 6)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Std
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Mean("value", alias_name="mean_value"),
+        Std("value", alias_name="std_value"),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "mean_value": pc.round(batch.column("mean_value"), 6),
+                "std_value": pc.round(batch.column("std_value"), 6),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_docs_sample(sf_dir: str):
+    """Deterministic 1-in-10 key-hash sample as a vectorized Arrow filter
+    inside ``map_batches`` (Ray's ``filter(expr=...)`` grammar has no
+    arithmetic; a per-row ``filter(fn)`` would be the Python-loop
+    anti-pattern)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        # modulo via subtract(x, multiply(divide(x,10),10)) — pc has no mod
+        x = batch.column("doc_id")
+        mod = pc.subtract(x, pc.multiply(pc.divide(x, 10), 10))
+        return batch.filter(pc.equal(mod, 3))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-bucket centroid of the embedding column — vector aggregation via
+    map-side partial sums: each batch emits (bucket, dim, partial_sum,
+    partial_n) rows (np.add.at over the batch matrix), the shuffle carries
+    buckets × dims rows only, and the final mean is computed after a Sum
+    groupby. The flat (bucket, dim, mean) output avoids list-column hashing
+    in the driver compare."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    n_buckets = 8
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        dim = mat.shape[1]
+        buckets = ids % n_buckets
+        sums = np.zeros((n_buckets, dim), dtype=np.float64)
+        np.add.at(sums, buckets, mat)
+        counts = np.bincount(buckets, minlength=n_buckets)
+        present = np.flatnonzero(counts)
+        b_col, d_col, s_col, n_col = [], [], [], []
+        for b in present:
+            for d in range(dim):
+                b_col.append(int(b))
+                d_col.append(d + 1)  # 1-based, matches SQL subscripts
+                s_col.append(sums[b, d])
+                n_col.append(int(counts[b]))
+        return pa.table(
+            {
+                "bucket": pa.array(b_col, pa.int64()),
+                "dim": pa.array(d_col, pa.int64()),
+                "psum": pa.array(s_col, pa.float64()),
+                "pn": pa.array(n_col, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "dim"])
+        .aggregate(Sum("psum", alias_name="s"), Sum("pn", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pc.round(
+            pc.divide(batch.column("s"), pc.cast(batch.column("n"), pa.float64())), 6
+        )
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "dim": batch.column("dim"),
+                "mean": mean,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # SQL CTE reconstructing the variants corpus by construction
 _VARIANTS_CTE = """
 variants AS (
@@ -840,6 +1007,11 @@ def queries() -> Dict[str, Callable]:
         "union_names": q_union_names,
         "pages_lang_stats": q_pages_lang_stats,
         "pages_toxicity": q_pages_toxicity,
+        "customer_order_counts": q_customer_order_counts,
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "events_value_stats": q_events_value_stats,
+        "docs_sample": q_docs_sample,
+        "embedding_centroids": q_embedding_centroids,
         "confidence_histogram": q_confidence_histogram,
         "eval_boolean_labels": q_eval_boolean_labels,
     }
@@ -1053,6 +1225,32 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT lang, count(*) AS n_docs, "
             "CAST(sum(array_length(regexp_split_to_array(trim(t), '\\s+'))) AS BIGINT) AS sum_n_words "
             "FROM p GROUP BY lang"
+        ),
+        "customer_order_counts": (
+            "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "
+            "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_custkey"
+        ),
+        "customers_no_urgent_orders": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            " AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "events_value_stats": (
+            "SELECT event_type, count(*) AS n, "
+            "round(avg(value), 6) AS mean_value, "
+            "round(stddev_samp(value), 6) AS std_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "docs_sample": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3"
+        ),
+        "embedding_centroids": (
+            "WITH u AS ( "
+            "  SELECT vec_id % 8 AS bucket, t.i AS dim, embedding[t.i] AS x "
+            "  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)) "
+            "SELECT bucket, dim, round(avg(x), 6) AS mean "
+            "FROM u GROUP BY bucket, dim"
         ),
         "pages_toxicity": (
             f"SELECT {_URL_EXPR} AS url, "
