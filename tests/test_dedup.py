@@ -206,3 +206,34 @@ def test_ngram_jaccard_pairs_exact_inverted_index():
     out = ngram_jaccard_pairs(ds, ngram=2, threshold=0.7).to_pandas()
     got = set(zip(out["a"], out["b"]))
     assert got == expected and expected  # non-trivial pair set
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frame_sample_and_resize_stages():
+    import ray.data as rd
+
+    from vigil_ray.sources.pages import synthesize_pages
+    from vigil_ray.stages.multimodal import (
+        fake_frame_digest,
+        frame_sample_stage,
+        resize_stage,
+    )
+
+    pages = synthesize_pages(SF)
+    sub = rd.from_arrow(pages.slice(0, 40))
+
+    frames = frame_sample_stage(sub, n_frames=4).to_pandas()
+    assert len(frames) == 160  # 40 rows x 4 frames
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    # offsets are evenly spaced byte arithmetic, idx 0 at offset 0
+    one = frames[frames["url"] == frames["url"].iloc[0]].sort_values("frame_idx")
+    payload = pages.column("html")[0].as_py()
+    assert list(one["frame_offset"]) == [i * len(payload) // 4 for i in range(4)]
+    assert list(one["frame_digest"]) == [
+        fake_frame_digest(payload, i * len(payload) // 4) for i in range(4)
+    ]
+
+    resized = resize_stage(sub, max_side=64).to_pandas()
+    assert len(resized) == 40
+    assert (resized[["resized_w", "resized_h"]].max(axis=1) == 64).all()
+    assert (resized[["resized_w", "resized_h"]].min(axis=1) >= 1).all()

@@ -369,6 +369,17 @@ def q_multimodal_payload_meta(sf_dir: str):
     return out.select_columns(["url", "n_bytes", "payload_md5"])
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling explode over binary payloads (1 row → 4 frame rows):
+    the offsets are pure byte arithmetic, so the flat-map shape and values
+    are exactly oracle-checked; the per-frame decode stays the declared fake
+    (digest column pinned in tests, excluded from the oracle columns)."""
+    from vigil_ray.stages.multimodal import frame_sample_stage
+
+    out = frame_sample_stage(_pages_ds(sf_dir), payload_col="html", key_col="url")
+    return out.select_columns(["url", "frame_idx", "frame_offset"])
+
+
 def q_orders_per_nation(sf_dir: str):
     """J3/J4-style join re-expressed for scale: the small sides (customer,
     nation) are broadcast once via ``ray.put`` and the fact table streams
@@ -994,6 +1005,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "events_sessions": q_events_sessions,
         "multimodal_payload_meta": q_multimodal_payload_meta,
+        "multimodal_frames": q_multimodal_frames,
         "orders_per_nation": q_orders_per_nation,
         "lineitem_pricing": q_lineitem_pricing,
         "review_items": q_review_items,
@@ -1150,6 +1162,11 @@ SELECT a, b FROM pairdist WHERE d <= 3
             # md5(BLOB)); the non-UTF-8 case is pinned in tests/test_sources.py
             f"md5({_HTML_EXPR}) AS payload_md5 "
             "FROM documents"
+        ),
+        "multimodal_frames": (
+            f"SELECT {_URL_EXPR} AS url, t.i AS frame_idx, "
+            f"(t.i * octet_length(encode({_HTML_EXPR}))) // 4 AS frame_offset "
+            "FROM documents, LATERAL unnest(range(0, 4)) AS t(i)"
         ),
         "orders_per_nation": (
             "SELECT n.n_name, count(*) AS n_orders, "
