@@ -80,3 +80,39 @@ def test_scrub_deterministic_and_detection_free(text):
     for d in find_scrub_spans(a):
         # any remaining span must come from the placeholder text itself
         assert "[" in a or d.valor not in clean
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_toxicity_scrub_removes_all_hits(text):
+    """After scrub_toxic, no toxic token remains, and clean text is
+    byte-identical (the mask touches exactly the toxic spans)."""
+    from vigil_ray.kernel.toxicity import score_toxicity, scrub_toxic, toxic_spans
+
+    masked = scrub_toxic(text)
+    assert toxic_spans(masked) == []
+    assert score_toxicity(masked)[0] == 0
+    if not toxic_spans(text):
+        assert masked == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**17))
+def test_luhn_check_digit_roundtrip(n):
+    """For any digit prefix there is exactly one Luhn-valid check digit."""
+    from vigil_ray.kernel.patterns import luhn_valid
+
+    prefix = str(n)
+    valid = [d for d in "0123456789" if luhn_valid(prefix + d)]
+    assert len(valid) == 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTISH)
+def test_card_detection_only_luhn_valid(text):
+    from vigil_ray.kernel.patterns import find_card, luhn_valid, _DIGITS_ONLY
+
+    for d in find_card(text):
+        digits = _DIGITS_ONLY.sub("", d.valor)
+        assert 13 <= len(digits) <= 19 and luhn_valid(digits)
+        assert text[d.start : d.end] == d.valor
