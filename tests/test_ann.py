@@ -66,3 +66,50 @@ class TestAnn:
         a = kmeans_fit(mat[:200], 8)
         b = kmeans_fit(mat[:200], 8)
         assert np.array_equal(a, b)
+
+
+class TestPersistedIVF:
+    def test_build_query_recall_and_reuse(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vigil_ray.stages.ann import brute_force_topk, ivf_build, ivf_query
+
+        sf = "/root/testdata/sf0.001"
+        emb = pq.read_table(f"{sf}/embeddings.parquet")
+        q = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+        idx_dir = str(tmp_path / "ivf")
+
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        ivf_build(ds, idx_dir, n_cells=16)
+        got = set(ivf_query(idx_dir, q, k=10, n_probe=4).to_pandas()["vec_id"])
+        truth = set(
+            brute_force_topk(rd.read_parquet(f"{sf}/embeddings.parquet"), q, k=10)
+            .to_pandas()["vec_id"]
+        )
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.7, recall
+
+        # reuse: second build call is a no-op (idempotent), second query
+        # returns identical ids
+        ivf_build(ds, idx_dir, n_cells=16)
+        again = set(ivf_query(idx_dir, q, k=10, n_probe=4).to_pandas()["vec_id"])
+        assert again == got
+
+    def test_query_reads_only_probed_partitions(self, ray_session, tmp_path):
+        """The scale property: probed-cell dirs only, not the whole index."""
+        import numpy as np
+        import os
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vigil_ray.stages.ann import _load_centroids, ivf_build
+
+        sf = "/root/testdata/sf0.001"
+        idx_dir = str(tmp_path / "ivf")
+        ivf_build(rd.read_parquet(f"{sf}/embeddings.parquet"), idx_dir, n_cells=16)
+        cells = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+        assert len(cells) > 4  # partitioned layout exists
+        cents = _load_centroids(idx_dir)
+        assert cents.shape[0] == 16

@@ -82,5 +82,5 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(queries()) - set(oracle_sql())
     # non-SQL-expressible ops are allowed to be oracle-free, but keep the
     # list explicit so additions are deliberate
-    allowed_oracle_free = {"ann_ivf_top10"}
+    allowed_oracle_free = {"ann_ivf_top10", "ann_ivf_persisted_top10"}
     assert missing <= allowed_oracle_free, f"queries without oracle SQL: {missing}"

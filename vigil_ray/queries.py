@@ -514,6 +514,30 @@ def q_ann_ivf_top10(sf_dir: str):
     return ivf_topk(ds, qvec, k=10).select_columns(["vec_id"])
 
 
+def q_ann_ivf_persisted_top10(sf_dir: str):
+    """Persisted-IVF top-k (the real scale path): index built ONCE as
+    cell-partitioned parquet under /tmp (idempotent across calls), query
+    reads only the probed cells' files. Approximate — rows-only driver
+    check; recall + reuse pinned in tests/test_ann.py."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.ann import ivf_build, ivf_query
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    ivf_build(read_table(f"{sf_dir}/embeddings.parquet"), index_dir)
+    return ivf_query(index_dir, qvec, k=10).select_columns(["vec_id"])
+
+
 def q_order_priority_items(sf_dir: str):
     """Both-sides-large join: orders ⨝ lineitem on o_orderkey, per-priority
     line counts. Uses Ray's hash-partitioned ``Dataset.join`` (both sides
@@ -1010,6 +1034,7 @@ def queries() -> Dict[str, Callable]:
         "lineitem_pricing": q_lineitem_pricing,
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
+        "ann_ivf_persisted_top10": q_ann_ivf_persisted_top10,
         "order_priority_items": q_order_priority_items,
         "events_sliding": q_events_sliding,
         "events_asof_join": q_events_asof_join,

@@ -124,3 +124,109 @@ def ivf_topk(
 
     per_batch = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
     return per_batch.sort(["cos", id_col], descending=[True, False]).limit(k)
+
+
+def ivf_build(
+    ds,
+    index_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+    seed: int = 42,
+):
+    """Build a PERSISTED IVF index: train centroids on a sample, assign every
+    vector to its nearest cell, and write the corpus as parquet PARTITIONED
+    BY CELL (``index_dir/cell=N/``), plus the centroid table beside it.
+
+    This is the piece the in-flight :func:`ivf_topk` lacks at scale: with the
+    assignment persisted, a query READS only the ``n_probe`` probed cells'
+    files (IO pruning via partition directories) instead of re-scanning and
+    masking every block — queries touch n_probe/n_cells of the corpus bytes,
+    and the index is resumable/reusable across queries and runs. Idempotent:
+    an existing ``_DONE`` marker short-circuits the build.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return _load_centroids(index_dir)
+
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = _normalize(np.asarray(sample_rows[vec_col].tolist(), dtype=np.float64))
+    centroids = kmeans_fit(sample, n_cells, seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        mat = _normalize(
+            np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        cell = np.argmax(mat @ cents.T, axis=1)
+        return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(centroids)), pa.int64()),
+                "centroid": pa.array(
+                    [list(c) for c in centroids], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return centroids
+
+
+def _load_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    order = np.argsort(np.asarray(t.column("cell").to_pylist()))
+    mat = np.asarray(t.column("centroid").to_pylist(), dtype=np.float64)
+    return mat[order]
+
+
+def ivf_query(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Query a persisted IVF index: read ONLY the probed cells' partition
+    directories (no full-corpus scan), score per batch, global top-k."""
+    import os
+
+    import ray.data as rd
+
+    centroids = _load_centroids(index_dir)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probed = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    cell_dirs = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in probed
+        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+    ]
+    files = [
+        os.path.join(d, f)
+        for d in cell_dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    ds = rd.read_parquet(files, columns=[id_col, vec_col])
+    return brute_force_topk(ds, q, k=k, id_col=id_col, vec_col=vec_col)
