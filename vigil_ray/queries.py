@@ -163,15 +163,28 @@ def q_events_hourly(sf_dir: str):
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(batch.column("ts"), unit="hour")
+        win = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")
+        )
         return batch.append_column("window_start", win)
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
-    return ds.groupby(["event_type", "window_start"]).aggregate(
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
         Count(alias_name="n"),
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
     )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        # the groupby key comes back timestamp[s]; emit µs to match the
+        # events table's native unit (and the oracle's date_trunc output)
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
+
+    return agg.map_batches(to_us, batch_format="pyarrow")
 
 
 def q_events_user_stats(sf_dir: str):
@@ -573,7 +586,10 @@ def q_events_sliding(sf_dir: str):
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
 
     def explode_windows(batch: pa.Table) -> pa.Table:
-        base = pc.floor_temporal(batch.column("ts"), multiple=30, unit="minute")
+        base = pc.cast(
+            pc.floor_temporal(batch.column("ts"), multiple=30, unit="minute"),
+            pa.timestamp("us"),
+        )
         shifted = pc.subtract(
             base, pa.scalar(1_800_000_000, pa.duration("us"))
         )
@@ -590,9 +606,18 @@ def q_events_sliding(sf_dir: str):
         )
 
     exploded = ds.map_batches(explode_windows, batch_format="pyarrow")
-    return exploded.groupby(["event_type", "window_start"]).aggregate(
+    agg = exploded.groupby(["event_type", "window_start"]).aggregate(
         Count(alias_name="n")
     )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
+
+    return agg.map_batches(to_us, batch_format="pyarrow")
 
 
 def q_events_asof_join(sf_dir: str):
