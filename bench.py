@@ -132,10 +132,16 @@ def run_bench() -> dict:
     secondary = [
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
         "events_hourly",
         "events_sessions",
+        "events_cumulative",
         "ann_cosine_top10",
         "pages_type_counts",
+        "pages_toxicity",
+        "embedding_centroids",
+        "customer_order_counts",
+        "multimodal_frames",
     ]
     registry = query_registry()
     for name in secondary:

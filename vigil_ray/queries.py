@@ -661,6 +661,55 @@ def q_events_asof_join(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def q_events_cumulative(sf_dir: str):
+    """Ordered per-key window analytic: each event's running index within its
+    user's history (SQL ``row_number() OVER (PARTITION BY user ORDER BY ts,
+    id)``). Ray shape: collect-list aggregate per user (same pattern as
+    sessionize — no per-group UDF dispatch), vectorized sort + explode per
+    batch of users. Ties broken by event_id, so the rank is deterministic."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def _pairs(block) -> list:
+        if isinstance(block, pa.Table):
+            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
+            return list(zip(ts.to_pylist(), block.column("event_id").to_pylist()))
+        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
+        return list(zip(ts.to_pylist(), list(block["event_id"])))
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda left, right: left + right,
+        name="evs",
+        accumulate_block=lambda acc, block: acc + _pairs(block),
+    )
+    per_user = ds.groupby("user_id").aggregate(collect)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        users, eids, ranks = [], [], []
+        for u, evs in zip(
+            batch.column("user_id").to_pylist(), batch.column("evs").to_pylist()
+        ):
+            for r, (_, eid) in enumerate(sorted(tuple(e) for e in evs), start=1):
+                users.append(u)
+                eids.append(eid)
+                ranks.append(r)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "event_id": pa.array(eids, pa.int64()),
+                "rk": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(explode, batch_format="pyarrow")
+
+
 def q_top3_docs_per_lang(sf_dir: str):
     """Per-group top-k: 3 longest documents per language (groupby →
     ordered head inside the group; ties broken by doc_id)."""
@@ -1062,6 +1111,7 @@ def queries() -> Dict[str, Callable]:
         "ann_ivf_persisted_top10": q_ann_ivf_persisted_top10,
         "order_priority_items": q_order_priority_items,
         "events_sliding": q_events_sliding,
+        "events_cumulative": q_events_cumulative,
         "events_asof_join": q_events_asof_join,
         "top3_docs_per_lang": q_top3_docs_per_lang,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1261,6 +1311,11 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  SELECT event_type, unnest([time_bucket(INTERVAL 30 MINUTE, ts), "
             "    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start "
             "  FROM events) GROUP BY event_type, window_start"
+        ),
+        "events_cumulative": (
+            "SELECT user_id, event_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk "
+            "FROM events"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
