@@ -143,3 +143,39 @@ class TestExport:
         assert len(back) > 0
         # sorted by priority rank: alta(0) ≤ media(1) ≤ baixa(2)
         assert back["prioridade_rank"].is_monotonic_increasing
+
+
+class TestCli:
+    def test_run_cli_end_to_end(self, tmp_path):
+        """`python -m vigil_ray.run` — the ray-job-submit surface — over a
+        pages parquet: exit 0, results parquet, summary envelope, review dir."""
+        import json
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        from vigil_ray.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(SF)
+        inp = str(tmp_path / "pages.parquet")
+        pq.write_table(pages.slice(0, 200), inp, row_group_size=1024)
+        out = str(tmp_path / "out")
+        summary = str(tmp_path / "summary.json")
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "vigil_ray.run",
+                "--input", inp, "--output", out,
+                "--summary", summary, "--num-cpus", "4",
+            ],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        back = pq.read_table(out)
+        assert back.num_rows == 200
+        assert "text_scrubbed" in back.column_names
+        assert "is_toxic" in back.column_names
+        env = json.load(open(summary))
+        assert env["metadata"]["total_registros"] == 200
+        assert (tmp_path / "out_review").exists()
