@@ -16,6 +16,7 @@ Env knobs:
     RAY_GRAFT_CPUS    ray.init num_cpus     (default 32)
     GRAFT_MULTIPLIER  pages amplification   (default 120 → 600k docs at sf0.1)
     GRAFT_SCALE_LO/HI --scaling cpu pair    (default 4 / 16; see BASELINE.md)
+    GRAFT_STATS       1 → print the headline run's ds.stats() to stderr
 """
 
 from __future__ import annotations
@@ -125,6 +126,10 @@ def run_bench() -> dict:
     result = quality_filter(ds, bench_cfg, quality_concurrency=max(2, NUM_CPUS // 2))
     result.write_parquet(out_dir)
     headline = time.perf_counter() - t0
+    if os.environ.get("GRAFT_STATS"):
+        # per-operator wall/cpu breakdown of the headline run, to stderr so
+        # the JSON line on stdout stays parseable
+        print(result.stats(), file=sys.stderr)
     n_docs = rd.read_parquet(out_dir, columns=["url"]).count()
     timings["quality_filter_full"] = round(headline, 3)
 

@@ -154,6 +154,12 @@ def ivf_build(
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
         return _load_centroids(index_dir)
+    if os.path.isdir(index_dir):
+        # a partial failed build (no _DONE) would leave stale cell files that
+        # a rebuild appends to → duplicated rows; start clean instead
+        import shutil
+
+        shutil.rmtree(index_dir)
 
     sample_rows = ds.limit(train_sample).to_pandas()
     sample = _normalize(np.asarray(sample_rows[vec_col].tolist(), dtype=np.float64))
