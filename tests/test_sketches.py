@@ -1,0 +1,44 @@
+"""KMV distinct-count sketch: accuracy, mergeability, exact-below-k."""
+
+import numpy as np
+import pytest
+
+from vigil_ray.stages.sketches import kmv_estimate, kmv_hash
+
+
+class TestKernel:
+    def test_exact_below_k(self):
+        hs = np.sort(np.array([kmv_hash(i) for i in range(40)]))
+        assert kmv_estimate(hs, 64) == 40.0
+
+    def test_accuracy_bound(self):
+        # stderr ~ 1/sqrt(k-2) ≈ 12.7% at k=64; assert a loose 3-sigma bound
+        for n in (1000, 10000, 50000):
+            hs = np.sort(np.array([kmv_hash(i) for i in range(n)]))
+            est = kmv_estimate(hs[:64], 64)
+            assert abs(est - n) / n < 0.4, (n, est)
+
+    def test_merge_is_k_smallest_of_union(self):
+        a = sorted({kmv_hash(i) for i in range(0, 500)})[:64]
+        b = sorted({kmv_hash(i) for i in range(250, 750)})[:64]
+        merged = sorted(set(a) | set(b))[:64]
+        full = sorted({kmv_hash(i) for i in range(0, 750)})[:64]
+        # overlapping partials merge to the true global k-smallest only when
+        # every global k-smallest hash appears in some partial's top-k —
+        # guaranteed because each partial keeps ITS k smallest
+        assert merged == full
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_stage_matches_single_process():
+    import ray.data as rd
+
+    from vigil_ray.stages.sketches import kmv_distinct
+
+    items = [{"k": f"key{i % 300}"} for i in range(5000)]
+    out = kmv_distinct(rd.from_items(items).repartition(8), "k", k=64).to_pandas()
+    hs = np.sort(np.array([kmv_hash(f"key{i}") for i in range(300)]))
+    expected = round(kmv_estimate(hs[:64], 64), 6)
+    assert out["n_distinct_est"].iloc[0] == expected
+    # and the estimate is in the right ballpark of the true 300
+    assert abs(expected - 300) / 300 < 0.4

@@ -710,6 +710,18 @@ def q_events_cumulative(sf_dir: str):
     return per_user.map_batches(explode, batch_format="pyarrow")
 
 
+def q_events_kmv_users(sf_dir: str):
+    """KMV distinct-count sketch over event users (stages/sketches.py):
+    mergeable k-minimum-values partials, estimate (k-1)/h_(k). The md5-based
+    hash makes the SQL oracle recompute the IDENTICAL estimate — an
+    exactly-checked approximate operator."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sketches import kmv_distinct
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return kmv_distinct(ds, "user_id", k=64)
+
+
 def q_top3_docs_per_lang(sf_dir: str):
     """Per-group top-k: 3 longest documents per language (groupby →
     ordered head inside the group; ties broken by doc_id)."""
@@ -1112,6 +1124,7 @@ def queries() -> Dict[str, Callable]:
         "order_priority_items": q_order_priority_items,
         "events_sliding": q_events_sliding,
         "events_cumulative": q_events_cumulative,
+        "events_kmv_users": q_events_kmv_users,
         "events_asof_join": q_events_asof_join,
         "top3_docs_per_lang": q_top3_docs_per_lang,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1311,6 +1324,18 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  SELECT event_type, unnest([time_bucket(INTERVAL 30 MINUTE, ts), "
             "    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start "
             "  FROM events) GROUP BY event_type, window_start"
+        ),
+        "events_kmv_users": (
+            # identical KMV estimate recomputed from scratch: same md5-based
+            # hash into (0,1], same k smallest distinct values, same formula
+            "WITH h AS ( "
+            "  SELECT DISTINCT (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) + 1) "
+            "         / 18446744073709551616.0 AS hv "
+            "  FROM events), "
+            "k AS (SELECT hv FROM h ORDER BY hv LIMIT 64), "
+            "s AS (SELECT count(*) AS n, max(hv) AS hk FROM k) "
+            "SELECT round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE) "
+            "       ELSE 63.0 / hk END, 6) AS n_distinct_est FROM s"
         ),
         "events_cumulative": (
             "SELECT user_id, event_id, "
