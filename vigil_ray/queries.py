@@ -710,6 +710,112 @@ def q_events_cumulative(sf_dir: str):
     return per_user.map_batches(explode, batch_format="pyarrow")
 
 
+def q_doc_top_tfidf(sf_dir: str):
+    """Per-document top tf-idf term: corpus df via a (doc, term)-distinct
+    explode + small groupby; idf broadcast once (``ray.put`` — the df table
+    is vocabulary-sized, the canonical broadcast dimension); per-doc argmax
+    in a second vectorized pass. Ranking uses the ROUNDED score (6 dp) with
+    term tie-break so engine and SQL order identically."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        docs, terms = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for term in set((t or "").lower().split()):
+                docs.append(d)
+                terms.append(term)
+        return pa.table(
+            {"doc_id": pa.array(docs, pa.int64()), "term": pa.array(terms, pa.string())}
+        )
+
+    df_tbl = (
+        ds.map_batches(explode_distinct, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    idf = {t: math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    def top_term(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        idf_map = ray.get(idf_ref)
+        docs, terms, scores = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            counts = Counter((t or "").lower().split())
+            if not counts:
+                continue
+            best = min(
+                ((-round(tf * idf_map[w], 6), w) for w, tf in counts.items())
+            )
+            docs.append(d)
+            terms.append(best[1])
+            scores.append(-best[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "top_term": pa.array(terms, pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(top_term, batch_format="pyarrow")
+
+
+def q_lang_top_docs_concat(sf_dir: str):
+    """Per-group ordered list aggregation (group-concat): the 5 longest docs
+    per language as a comma-joined id string — collect-list ``AggregateFn``
+    + in-batch sort/truncate/join, vs SQL ``string_agg`` over a ranked CTE."""
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def _rows(block) -> list:
+        if isinstance(block, pa.Table):
+            return list(
+                zip(block.column("n_chars").to_pylist(), block.column("doc_id").to_pylist())
+            )
+        return list(zip(list(block["n_chars"]), list(block["doc_id"])))
+
+    # partial truncation inside the accumulator: only each block's top-5
+    # candidates survive, so the shuffle carries ≤5 pairs per (block, lang)
+    def _top5(rows: list) -> list:
+        return sorted(rows, key=lambda t: (-t[0], t[1]))[:5]
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda left, right: _top5(left + right),
+        name="pairs",
+        accumulate_block=lambda acc, block: _top5(acc + _rows(block)),
+    )
+    per_lang = ds.groupby("lang").aggregate(collect)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang")
+        joined = [
+            ",".join(str(d) for _, d in _top5([tuple(p) for p in pairs]))
+            for pairs in batch.column("pairs").to_pylist()
+        ]
+        return pa.table(
+            {"lang": langs, "top_doc_ids": pa.array(joined, pa.string())}
+        )
+
+    return per_lang.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_kmv_users(sf_dir: str):
     """KMV distinct-count sketch over event users (stages/sketches.py):
     mergeable k-minimum-values partials, estimate (k-1)/h_(k). The md5-based
@@ -1125,6 +1231,8 @@ def queries() -> Dict[str, Callable]:
         "events_sliding": q_events_sliding,
         "events_cumulative": q_events_cumulative,
         "events_kmv_users": q_events_kmv_users,
+        "lang_top_docs_concat": q_lang_top_docs_concat,
+        "doc_top_tfidf": q_doc_top_tfidf,
         "events_asof_join": q_events_asof_join,
         "top3_docs_per_lang": q_top3_docs_per_lang,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1324,6 +1432,30 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  SELECT event_type, unnest([time_bucket(INTERVAL 30 MINUTE, ts), "
             "    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start "
             "  FROM events) GROUP BY event_type, window_start"
+        ),
+        "doc_top_tfidf": (
+            "WITH toks AS ( "
+            "  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS ( "
+            "  SELECT tf.doc_id, tf.term, "
+            "         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score "
+            "  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n), "
+            "ranked AS ( "
+            "  SELECT doc_id, term, score, row_number() OVER "
+            "    (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored) "
+            "SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1"
+        ),
+        "lang_top_docs_concat": (
+            "WITH ranked AS ( "
+            "  SELECT lang, doc_id, row_number() OVER "
+            "    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "  FROM documents) "
+            "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) "
+            "AS top_doc_ids FROM ranked WHERE rn <= 5 GROUP BY lang"
         ),
         "events_kmv_users": (
             # identical KMV estimate recomputed from scratch: same md5-based
