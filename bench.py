@@ -147,6 +147,8 @@ def run_bench() -> dict:
         "embedding_centroids",
         "customer_order_counts",
         "multimodal_frames",
+        "events_kmv_users",
+        "doc_top_tfidf",
     ]
     registry = query_registry()
     for name in secondary:

@@ -546,7 +546,9 @@ def q_ann_ivf_persisted_top10(sf_dir: str):
         filters=[("vec_id", "==", 0)],
     )
     qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
-    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    # version-keyed: bump when the index layout or kmeans seed changes so a
+    # cached build from an older code version can't serve stale results
+    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v1"
     ivf_build(read_table(f"{sf_dir}/embeddings.parquet"), index_dir)
     return ivf_query(index_dir, qvec, k=10).select_columns(["vec_id"])
 
