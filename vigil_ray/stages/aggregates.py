@@ -10,7 +10,7 @@ confusion counts.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, Optional
+from typing import Dict
 
 import pyarrow as pa
 

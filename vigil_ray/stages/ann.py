@@ -18,7 +18,6 @@ Two paths:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

@@ -16,7 +16,6 @@ features are extracted so the big bytes never cross a shuffle.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import pyarrow as pa
 

@@ -33,7 +33,7 @@ from vigil_ray.config import (
     NER_PERSON_LABELS,
     PipelineConfig,
 )
-from vigil_ray.kernel.detector import build_result, empty_result
+from vigil_ray.kernel.detector import build_result
 from vigil_ray.kernel import patterns
 from vigil_ray.kernel.names import (
     find_names_heuristic,

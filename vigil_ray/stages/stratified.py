@@ -20,7 +20,6 @@ numeric-stats case end-to-end.
 from __future__ import annotations
 
 import zlib
-from typing import Optional
 
 import pyarrow as pa
 
