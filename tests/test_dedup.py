@@ -237,3 +237,30 @@ def test_frame_sample_and_resize_stages():
     assert len(resized) == 40
     assert (resized[["resized_w", "resized_h"]].max(axis=1) == 64).all()
     assert (resized[["resized_w", "resized_h"]].min(axis=1) >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_max_df_valve():
+    """max_df drops stop-shingle buckets: pairs whose overlap rides only on
+    ultra-common shingles disappear, distinctive pairs survive."""
+    import ray.data as rd
+
+    from vigil_ray.stages.dedup import ngram_jaccard_pairs
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = (
+        [{"vid": i, "text": common} for i in range(10)]          # identical
+        + [{"vid": 100 + i, "text": f"rare{i} token{i} one{i} two{i} three{i}"}
+           for i in range(3)]
+    )
+    docs.append({"vid": 103, "text": "rare0 token0 one0 two0 three0"})  # dup of 100
+    ds = rd.from_items(docs)
+
+    # no valve: the identical-common docs form all 45 pairs + the rare pair
+    full = ngram_jaccard_pairs(ds, ngram=2, threshold=0.9).to_pandas()
+    assert len(full) == 46
+    # valve at df<=2: every common shingle (df=10) is dropped, so the
+    # identical-common pairs lose all measured overlap; the rare pair's
+    # shingles (df=2) survive
+    valved = ngram_jaccard_pairs(ds, ngram=2, threshold=0.9, max_df=2).to_pandas()
+    assert set(zip(valved["a"], valved["b"])) == {(100, 103)}
