@@ -452,6 +452,79 @@ def q_orders_per_nation(sf_dir: str):
     return agg
 
 
+def q_orders_quarter_ranges(sf_dir: str):
+    """Range join (brief-named custom-operator class): orders assigned to
+    calendar-quarter intervals via the canonical distributed technique —
+    broadcast the SORTED interval boundaries once, binary-search
+    (``np.searchsorted``) each batch's dates into its interval, then a
+    normal keyed aggregate. The boundary table is tiny and fixed; no
+    interval-to-fact shuffle ever happens. Exact integer-cent sums."""
+    from datetime import datetime
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    bounds = np.array(
+        [datetime(y, m, 1) for y in range(1990, 2033) for m in (1, 4, 7, 10)],
+        dtype="datetime64[us]",
+    ).astype(np.int64)
+    bref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = ray.get(bref)
+        dates = pc.cast(batch.column("o_orderdate"), pa.timestamp("us"))
+        d_us = np.asarray(dates.cast(pa.int64()).to_pylist(), dtype=np.int64)
+        idx = np.searchsorted(b, d_us, side="right") - 1
+        qstart = b[idx]
+        cents = np.asarray(
+            [round(p * 100) for p in batch.column("o_totalprice").to_pylist()],
+            dtype=np.int64,
+        )
+        # map-side partial per quarter
+        uniq, inv = np.unique(qstart, return_inverse=True)
+        n_part = np.bincount(inv)
+        c_part = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table(
+            {
+                "q_us": pa.array(uniq, pa.int64()),
+                "n_partial": pa.array(n_part, pa.int64()),
+                "cents_partial": pa.array(c_part, pa.int64()),
+            }
+        )
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    agg = (
+        orders.map_batches(assign, batch_format="pyarrow")
+        .groupby("q_us")
+        .aggregate(
+            Sum("n_partial", alias_name="n_orders"),
+            Sum("cents_partial", alias_name="total_price_cents"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "quarter_start": pc.cast(
+                    batch.column("q_us"), pa.timestamp("us")
+                ),
+                "n_orders": batch.column("n_orders"),
+                "total_price_cents": batch.column("total_price_cents"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style pricing summary (A1-analog generic aggregate)."""
     import pyarrow.compute as pc
@@ -1225,6 +1298,7 @@ def queries() -> Dict[str, Callable]:
         "multimodal_payload_meta": q_multimodal_payload_meta,
         "multimodal_frames": q_multimodal_frames,
         "orders_per_nation": q_orders_per_nation,
+        "orders_quarter_ranges": q_orders_quarter_ranges,
         "lineitem_pricing": q_lineitem_pricing,
         "review_items": q_review_items,
         "ann_ivf_top10": q_ann_ivf_top10,
@@ -1397,6 +1471,13 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "orders_quarter_ranges": (
+            # quarter-interval range join ≡ date_trunc for full coverage
+            "SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start, "
+            "count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
+            "FROM orders GROUP BY 1"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "
