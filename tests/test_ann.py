@@ -97,6 +97,75 @@ class TestPersistedIVF:
         again = set(ivf_query(idx_dir, q, k=10, n_probe=4).to_pandas()["vec_id"])
         assert again == got
 
+    def test_fingerprint_invalidates_stale_index(self, ray_session, tmp_path):
+        """Regenerated source data (different fingerprint) forces a rebuild
+        instead of silently serving the stale cached index."""
+        import os
+        import ray.data as rd
+
+        from vigil_ray.stages.ann import ivf_build
+
+        sf = "/root/testdata/sf0.001"
+        idx_dir = str(tmp_path / "ivf")
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        ivf_build(ds, idx_dir, n_cells=16, fingerprint="fp_v1")
+        done = os.path.join(idx_dir, "_DONE")
+        first_mtime = os.stat(done).st_mtime_ns
+        # same fingerprint → reuse (marker untouched)
+        ivf_build(ds, idx_dir, n_cells=16, fingerprint="fp_v1")
+        assert os.stat(done).st_mtime_ns == first_mtime
+        # changed fingerprint → rebuild (marker rewritten with the new stamp)
+        ivf_build(ds, idx_dir, n_cells=16, fingerprint="fp_v2")
+        with open(done) as f:
+            assert f.read() == "fp_v2"
+
+    def test_query_skips_empty_cells(self, ray_session, tmp_path):
+        """An empty probed cell must not shrink the probe budget or crash:
+        ivf_query probes the nearest NON-EMPTY cells."""
+        import numpy as np
+        import os
+        import shutil
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vigil_ray.stages.ann import ivf_build, ivf_query
+
+        sf = "/root/testdata/sf0.001"
+        emb = pq.read_table(f"{sf}/embeddings.parquet")
+        q = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+        idx_dir = str(tmp_path / "ivf")
+        ivf_build(rd.read_parquet(f"{sf}/embeddings.parquet"), idx_dir, n_cells=16)
+        # empty out the query's nearest cell and verify the query still
+        # returns k rows (probing the next-nearest populated cells)
+        from vigil_ray.stages.ann import _load_centroids
+
+        cents = _load_centroids(idx_dir)
+        qn = q / np.linalg.norm(q)
+        nearest = int(np.argmax(cents @ qn))
+        target = os.path.join(idx_dir, f"cell={nearest}")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        out = ivf_query(idx_dir, q, k=10, n_probe=4).to_pandas()
+        assert len(out) == 10
+
+    def test_query_raises_when_no_cells(self, ray_session, tmp_path):
+        import numpy as np
+        import os
+        import shutil
+        import ray.data as rd
+        import pytest as _pytest
+
+        from vigil_ray.stages.ann import ivf_build, ivf_query
+
+        sf = "/root/testdata/sf0.001"
+        idx_dir = str(tmp_path / "ivf")
+        ivf_build(rd.read_parquet(f"{sf}/embeddings.parquet"), idx_dir, n_cells=8)
+        for d in os.listdir(idx_dir):
+            if d.startswith("cell="):
+                shutil.rmtree(os.path.join(idx_dir, d))
+        with _pytest.raises(FileNotFoundError):
+            ivf_query(idx_dir, np.ones(64), k=10, n_probe=4)
+
     def test_query_reads_only_probed_partitions(self, ray_session, tmp_path):
         """The scale property: probed-cell dirs only, not the whole index."""
         import numpy as np

@@ -264,3 +264,30 @@ def test_ngram_jaccard_max_df_valve():
     # shingles (df=2) survive
     valved = ngram_jaccard_pairs(ds, ngram=2, threshold=0.9, max_df=2).to_pandas()
     assert set(zip(valved["a"], valved["b"])) == {(100, 103)}
+
+
+class TestBucketTruncation:
+    def test_truncate_bucket_counts_drops(self):
+        from vigil_ray.stages.dedup import truncate_bucket
+
+        kept, dropped = truncate_bucket([5, 3, 1, 4, 2], 3)
+        assert kept == [1, 2, 3] and dropped == 2
+        kept, dropped = truncate_bucket([2, 1], 5)
+        assert kept == [1, 2] and dropped == 0
+
+    def test_degenerate_bucket_caps_pair_output(self, ray_session):
+        """A bucket over max_bucket emits pairs only from the kept prefix
+        (the warning itself fires worker-side — counting is covered by the
+        truncate_bucket unit test above)."""
+        import ray.data as rd
+
+        from vigil_ray.stages.dedup import minhash_lsh_pairs
+
+        # 5 identical docs → every band bucket has 5 members; cap at 3
+        ds = rd.from_items(
+            [{"vid": i, "text": "alpha beta gamma delta epsilon zeta"} for i in range(5)]
+        ).repartition(1)
+        pairs = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=3).to_pandas()
+        got = {tuple(r) for r in pairs[["a", "b"]].itertuples(index=False)}
+        # only pairs among the kept prefix {0,1,2}
+        assert got == {(0, 1), (0, 2), (1, 2)}

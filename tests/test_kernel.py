@@ -237,3 +237,25 @@ class TestScrub:
     def test_sei_numbers_not_scrubbed(self):
         text = "Processo SEI 00015-12345678/2026-01 em andamento"
         assert scrub_text(text) == text
+
+
+class TestCandidatePrefilter:
+    def test_digit_free_portador_doc_not_prefiltered(self):
+        """'(name)[,\\s]+(?:CPF|portador)' can fire with no digit/keyword the
+        old prefilter knew: analyze_document must equal detect_pii+scrub_text
+        on such docs (the CLAUDE.md-pinned equality)."""
+        from vigil_ray.kernel.detector import (
+            analyze_document,
+            could_have_pii,
+            detect_pii,
+            scrub_text,
+        )
+        from vigil_ray.kernel.preprocess import normalize_text
+
+        doc = "Maria Silva Santos, portador do documento"
+        assert could_have_pii(doc)
+        res_fused, scrub_fused = analyze_document(doc)
+        res_layered = detect_pii(doc)
+        assert res_fused == res_layered
+        assert res_layered["contem_pii"]  # nome via the portador template
+        assert scrub_fused == scrub_text(normalize_text(doc))

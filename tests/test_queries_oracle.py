@@ -80,7 +80,8 @@ def test_every_query_has_oracle_or_is_flagged():
     from vigil_ray.queries import oracle_sql, queries
 
     missing = set(queries()) - set(oracle_sql())
-    # non-SQL-expressible ops are allowed to be oracle-free, but keep the
-    # list explicit so additions are deliberate
-    allowed_oracle_free = {"ann_ivf_top10", "ann_ivf_persisted_top10"}
+    # every query now has an oracle (the approximate IVF ops assert their
+    # recall bound in-query as a 1-row table); keep this set explicit so
+    # additions are deliberate
+    allowed_oracle_free: set = set()
     assert missing <= allowed_oracle_free, f"queries without oracle SQL: {missing}"

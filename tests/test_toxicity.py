@@ -81,3 +81,30 @@ class TestStage:
         assert out.loc[0, "text_scrubbed"] == "meu CPF é [CPF] [TOXIC] [TOXIC]"
         assert not out.loc[0, "keep"]
         assert list(out.loc[0, "drop_reasons"]) == ["toxicity"]
+
+
+class TestFusedPoisonRow:
+    def test_poison_row_still_gets_toxicity_gate(self, ray_session, monkeypatch):
+        """A row whose analyze_document raises must STILL be toxicity-scored
+        (parity with the standalone stage, which scores every row)."""
+        import pyarrow as pa
+
+        from vigil_ray.stages import detect as detect_mod
+
+        real = detect_mod.analyze_document
+
+        def poison(raw, token):
+            if raw == "POISON idiota estúpido":
+                raise ValueError("boom")
+            return real(raw, token)
+
+        monkeypatch.setattr(detect_mod, "analyze_document", poison)
+        batch = pa.table({"text": ["POISON idiota estúpido", "fine text"]})
+        out = detect_mod.PiiDetectScrub(
+            PipelineConfig(), apply_toxicity=True
+        )(batch)
+        assert out.column("n_tox").to_pylist() == [2, 0]
+        assert out.column("is_toxic").to_pylist() == [True, False]
+        # poison row degrades to empty scrub, toxic masking of "" stays ""
+        assert out.column("text_scrubbed").to_pylist()[0] == ""
+        assert not out.column("contem_pii").to_pylist()[0]

@@ -39,7 +39,11 @@ import re as _re
 
 _CANDIDATE = _re.compile(
     r"[\d@①-⓿０-９²³¹⁰-⁹₀-₉]"
-    r"|nome|chamo|cidad|requerente|solicitante|servidor|funcion",
+    r"|nome|chamo|cidad|requerente|solicitante|servidor|funcion"
+    # the '(name)[,\s]+(?:CPF|portador)' template can fire on a digit-free
+    # doc ('Maria Silva, portador'), so its anchors must be candidates too
+    # (mirrors names.py _ANY_CONTEXT)
+    r"|cpf|portador",
     _re.IGNORECASE,
 )
 

@@ -125,6 +125,20 @@ def ivf_topk(
     return per_batch.sort(["cos", id_col], descending=[True, False]).limit(k)
 
 
+def data_fingerprint(*paths: str) -> str:
+    """Cheap source-data fingerprint (size + mtime per file) for index-cache
+    validation — if the parquet at the same path is regenerated, the stamp
+    changes and a stale persisted index is rebuilt instead of silently
+    served."""
+    import os
+
+    parts = []
+    for p in sorted(paths):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def ivf_build(
     ds,
     index_dir: str,
@@ -133,6 +147,7 @@ def ivf_build(
     vec_col: str = "embedding",
     train_sample: int = 4096,
     seed: int = 42,
+    fingerprint: str = "",
 ):
     """Build a PERSISTED IVF index: train centroids on a sample, assign every
     vector to its nearest cell, and write the corpus as parquet PARTITIONED
@@ -143,7 +158,10 @@ def ivf_build(
     files (IO pruning via partition directories) instead of re-scanning and
     masking every block — queries touch n_probe/n_cells of the corpus bytes,
     and the index is resumable/reusable across queries and runs. Idempotent:
-    an existing ``_DONE`` marker short-circuits the build.
+    an existing ``_DONE`` marker short-circuits the build — but only if the
+    stamp stored in it matches ``fingerprint`` (see :func:`data_fingerprint`),
+    so regenerated source data forces a rebuild rather than serving a stale
+    index.
     """
     import os
 
@@ -152,7 +170,11 @@ def ivf_build(
 
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
-        return _load_centroids(index_dir)
+        with open(done) as f:
+            stamp = f.read()
+        if stamp == fingerprint:
+            return _load_centroids(index_dir)
+        # source data changed under the same path → invalidate
     if os.path.isdir(index_dir):
         # a partial failed build (no _DONE) would leave stale cell files that
         # a rebuild appends to → duplicated rows; start clean instead
@@ -189,7 +211,7 @@ def ivf_build(
         os.path.join(index_dir, "_centroids.parquet"),
     )
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(fingerprint)
     return centroids
 
 
@@ -221,17 +243,29 @@ def ivf_query(
     centroids = _load_centroids(index_dir)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
-    probed = np.argsort(-(centroids @ q))[:n_probe].tolist()
-    cell_dirs = [
-        os.path.join(index_dir, f"cell={c}")
-        for c in probed
-        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
-    ]
-    files = [
-        os.path.join(d, f)
-        for d in cell_dirs
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
+    # kmeans can leave empty cells (their stale centroids may still rank
+    # nearest): walk the full centroid ranking and keep the n_probe NEAREST
+    # NON-EMPTY cells, so an empty probed cell never silently shrinks the
+    # probe budget or crashes read_parquet([]).
+    ranked = np.argsort(-(centroids @ q)).tolist()
+    files: list = []
+    probed = 0
+    for c in ranked:
+        if probed >= n_probe:
+            break
+        d = os.path.join(index_dir, f"cell={c}")
+        if not os.path.isdir(d):
+            continue
+        cell_files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        if cell_files:
+            files.extend(cell_files)
+            probed += 1
+    if not files:
+        raise FileNotFoundError(
+            f"IVF index at {index_dir} has no populated cell partitions — "
+            "rebuild the index (ivf_build)"
+        )
     ds = rd.read_parquet(files, columns=[id_col, vec_col])
     return brute_force_topk(ds, q, k=k, id_col=id_col, vec_col=vec_col)

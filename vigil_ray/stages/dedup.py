@@ -124,6 +124,31 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def truncate_bucket(members: list, max_bucket: int):
+    """Sort a bucket's members and cap to ``max_bucket``; returns
+    ``(kept, n_dropped)`` so callers can COUNT what a degenerate bucket
+    loses instead of silently shrinking it."""
+    members = sorted(members)
+    if len(members) <= max_bucket:
+        return members, 0
+    return members[:max_bucket], len(members) - max_bucket
+
+
+def _warn_truncated(stage: str, n_buckets: int, n_dropped: int) -> None:
+    """One aggregated warning per exploded batch (worker-side Ray log +
+    stderr): a skewed corpus that overflows ``max_bucket`` is loud, not
+    silent."""
+    import logging
+
+    logging.getLogger("vigil_ray.dedup").warning(
+        "%s: %d bucket(s) over max_bucket — %d member(s) dropped from pair "
+        "generation (raise max_bucket or pre-filter degenerate keys)",
+        stage,
+        n_buckets,
+        n_dropped,
+    )
+
+
 # --------------------------------------------------------------------------
 # Ray stages
 # --------------------------------------------------------------------------
@@ -185,12 +210,18 @@ def minhash_lsh_pairs(
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
         pa_, pb_ = [], []
+        n_trunc = n_dropped = 0
         for vids in batch.column("vids").to_pylist():
-            ids = sorted(vids)[:max_bucket]
+            ids, dropped = truncate_bucket(vids, max_bucket)
+            if dropped:
+                n_trunc += 1
+                n_dropped += dropped
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     pa_.append(ids[i])
                     pb_.append(ids[j])
+        if n_trunc:
+            _warn_truncated("minhash_lsh_pairs", n_trunc, n_dropped)
         return pa.table(
             {"a": pa.array(pa_, pa.int64()), "b": pa.array(pb_, pa.int64())}
         )
@@ -292,8 +323,12 @@ def simhash_pairs(
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
         pa_, pb_ = [], []
+        n_trunc = n_dropped = 0
         for members in batch.column("members").to_pylist():
-            rows = sorted(tuple(m) for m in members)[:max_bucket]
+            rows, dropped = truncate_bucket([tuple(m) for m in members], max_bucket)
+            if dropped:
+                n_trunc += 1
+                n_dropped += dropped
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     va, sa = rows[i]
@@ -303,6 +338,8 @@ def simhash_pairs(
                     if hamming64(ua, ub) <= max_distance:
                         pa_.append(va)
                         pb_.append(vb)
+        if n_trunc:
+            _warn_truncated("simhash_pairs", n_trunc, n_dropped)
         return pa.table(
             {"a": pa.array(pa_, pa.int64()), "b": pa.array(pb_, pa.int64())}
         )

@@ -93,15 +93,21 @@ class PiiDetectScrub:
                     if emit:
                         detalhes[i] = _detail_rows(res["detalhes"], self.cfg.use_ner)
                         sinais[i] = _detail_rows(res["sinais_contextuais"], False)
-                if tox:
+            except Exception:  # noqa: BLE001 — poison row → empty result
+                scrub = ""
+            # toxicity is scored OUTSIDE the analyze_document try so a
+            # poison-PII row still gets the toxicity gate (same semantics as
+            # the standalone stages/toxicity.py, which scores every row)
+            if tox:
+                try:
                     n_tox[i], tox_ratio[i], is_toxic[i] = score_toxicity(
                         raw or "", tcfg.min_hits, tcfg.min_ratio
                     )
                     if is_toxic[i]:
                         scrub = scrub_toxic(scrub, tcfg.scrub_token)
-                scrubbed[i] = scrub
-            except Exception:  # noqa: BLE001 — poison row → empty result
-                scrubbed[i] = ""
+                except Exception:  # noqa: BLE001
+                    pass
+            scrubbed[i] = scrub
 
         out = (
             batch.append_column("contem_pii", pa.array(contem, pa.bool_()))
