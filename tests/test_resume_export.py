@@ -179,3 +179,87 @@ class TestCli:
         env = json.load(open(summary))
         assert env["metadata"]["total_registros"] == 200
         assert (tmp_path / "out_review").exists()
+
+
+class TestAnalyzeErrorsCli:
+    def test_predictions_only_report(self, tmp_path):
+        """`python -m vigil_ray.analyze_errors` without truth: type
+        distribution + examples + confidence histogram (reference
+        scripts/analyze_errors.py:44-116)."""
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        from vigil_ray.sources.pages import synthesize_pages
+        from vigil_ray.stages.detect import PiiDetectScrub
+        from vigil_ray.config import PipelineConfig
+
+        pages = synthesize_pages(SF).slice(0, 100)
+        pred_tbl = PiiDetectScrub(PipelineConfig())(pages)
+        inp = str(tmp_path / "preds.parquet")
+        pq.write_table(pred_tbl, inp, row_group_size=1024)
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "vigil_ray.analyze_errors",
+                "--predictions", inp, "--num-cpus", "4",
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "PREDICTION ANALYSIS" in proc.stdout
+        assert "PII TYPE DISTRIBUTION" in proc.stdout
+        assert "cpf" in proc.stdout
+        assert "DETECTION EXAMPLES" in proc.stdout
+        assert "CONFIDENCE DISTRIBUTION" in proc.stdout
+
+    def test_truth_mode_report(self, tmp_path):
+        """Truth mode: confusion summary, FN/FP listings with sample-text
+        left join, suggestions (reference scripts/analyze_errors.py:119-217).
+        Truth is deliberately perturbed so both FN and FP rows exist."""
+        import subprocess
+        import sys
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from vigil_ray.sources.pages import synthesize_pages
+        from vigil_ray.stages.detect import PiiDetectScrub
+        from vigil_ray.config import PipelineConfig
+
+        pages = synthesize_pages(SF).slice(0, 100)
+        pred_tbl = PiiDetectScrub(PipelineConfig())(pages)
+        inp = str(tmp_path / "preds.parquet")
+        pq.write_table(pred_tbl, inp, row_group_size=1024)
+
+        urls = pred_tbl.column("url").to_pylist()
+        pred = pred_tbl.column("contem_pii").to_pylist()
+        # flip the first positive and the first negative → 1 FN + 1 FP
+        truth = list(pred)
+        truth[pred.index(True)] = False
+        truth[pred.index(False)] = True
+        truth_path = str(tmp_path / "truth.parquet")
+        pq.write_table(
+            pa.table({"url": pa.array(urls), "contem_pii": pa.array(truth)}),
+            truth_path,
+        )
+        sample_path = str(tmp_path / "sample.parquet")
+        pq.write_table(pages.select(["url", "text"]), sample_path)
+
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "vigil_ray.analyze_errors",
+                "--predictions", inp, "--ground-truth", truth_path,
+                "--sample", sample_path, "--num-cpus", "4",
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "ERROR ANALYSIS" in proc.stdout
+        assert "False Positives (FP): 1" in proc.stdout
+        assert "False Negatives (FN): 1" in proc.stdout
+        assert "CRITICAL" in proc.stdout
+        assert "FALSE NEGATIVES" in proc.stdout
+        assert "FALSE POSITIVES" in proc.stdout
+        assert "Text:" in proc.stdout  # sample-text join attached
+        assert "IMPROVEMENT SUGGESTIONS" in proc.stdout
