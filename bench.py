@@ -107,7 +107,8 @@ def run_bench() -> dict:
         for f in os.listdir(pages_path)
         if f.endswith(".parquet")
     )
-    n_blocks = max(NUM_CPUS * 2, n_rows // 8192)
+    rows_per_task = int(os.environ.get("GRAFT_ROWS_PER_TASK", "8192"))
+    n_blocks = max(NUM_CPUS * 2, n_rows // rows_per_task)
 
     # untimed warm-up: spawn the worker pool and import the library in every
     # worker once, so the timed section measures steady-state throughput (a
