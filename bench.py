@@ -150,6 +150,10 @@ def run_bench() -> dict:
         "multimodal_frames",
         "events_kmv_users",
         "doc_top_tfidf",
+        "events_asof_join",
+        "doc_segment_dedup",
+        "docs_shuffle_rank",
+        "events_nonblocked_counts",
     ]
     registry = query_registry()
     for name in secondary:

@@ -1,0 +1,180 @@
+"""Training-corpus prep operators (stages/corpus.py): segment dedup, prefix
+scan / shard packing / deterministic shuffle, hash split, bloom anti join,
+group quantile filter, per-key cap. SQL-oracle equivalence for the wired
+queries is covered by tests/test_queries_oracle.py; these tests pin the
+operator semantics directly on small constructed inputs."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_items(rows).repartition(3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSegmentDedup:
+    def test_first_occurrence_wins_and_reassembly(self):
+        from vigil_ray.stages.corpus import segment_dedup
+
+        # seg_words=2 → doc 1: [a b][c d]; doc 2: [a b][x y]; doc 3: [x y]
+        rows = [
+            {"doc_id": 1, "text": "a b c d"},
+            {"doc_id": 2, "text": "a b x y"},
+            {"doc_id": 3, "text": "x y"},
+        ]
+        out = {
+            r["doc_id"]: r["text_dedup"]
+            for r in segment_dedup(_ds(rows), seg_words=2).take_all()
+        }
+        assert out[1] == "a b c d"
+        assert out[2] == "x y"  # 'a b' lost to doc 1
+        assert 3 not in out  # 'x y' lost to doc 2 → all segments gone
+
+    def test_within_doc_duplicate_kept_once(self):
+        from vigil_ray.stages.corpus import segment_dedup
+
+        rows = [{"doc_id": 7, "text": "p q p q"}]
+        out = segment_dedup(_ds(rows), seg_words=2).take_all()
+        assert out == [{"doc_id": 7, "text_dedup": "p q"}]
+
+    def test_tail_segment_shorter_than_window(self):
+        from vigil_ray.stages.corpus import segment_dedup
+
+        rows = [{"doc_id": 1, "text": "a b c"}]
+        out = segment_dedup(_ds(rows), seg_words=2).take_all()
+        assert out == [{"doc_id": 1, "text_dedup": "a b c"}]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrefixScan:
+    def test_matches_numpy_cumsum(self):
+        from vigil_ray.stages.corpus import prefix_scan
+
+        rows = [{"k": i, "cost": (i * 7) % 13 + 1} for i in range(200)]
+        out = prefix_scan(_ds(rows), ["k"], cost_col="cost").to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        costs = np.array([(i * 7) % 13 + 1 for i in range(200)], dtype=float)
+        expect = np.cumsum(costs) - costs
+        assert np.array_equal(out["cum_excl"].to_numpy(), expect)
+
+    def test_rank_mode(self):
+        from vigil_ray.stages.corpus import prefix_scan
+
+        rows = [{"k": i} for i in range(57)]
+        out = prefix_scan(_ds(rows), ["k"]).to_pandas().sort_values("k")
+        assert out["cum_excl"].tolist() == [float(i) for i in range(57)]
+
+    def test_pack_shards_boundaries(self):
+        from vigil_ray.stages.corpus import pack_shards
+
+        rows = [{"doc_id": i, "n": 10} for i in range(10)]
+        out = pack_shards(_ds(rows), "doc_id", "n", 25).to_pandas()
+        out = out.sort_values("doc_id")
+        # prefix(excl): 0,10,20,...,90 → //25 = 0,0,0,1,1,2,2,2,3,3
+        assert out["shard_id"].tolist() == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+    def test_shuffle_rank_is_permutation_and_deterministic(self):
+        from vigil_ray.stages.corpus import deterministic_shuffle
+
+        rows = [{"doc_id": i} for i in range(100)]
+        a = deterministic_shuffle(_ds(rows), "doc_id", seed=7).to_pandas()
+        b = deterministic_shuffle(_ds(rows), "doc_id", seed=7).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert sorted(a["shuffle_rank"]) == list(range(1, 101))
+        # matches the definition: order of md5(f"{id}:7")
+        keys = sorted(range(100), key=lambda i: hashlib.md5(f"{i}:7".encode()).hexdigest())
+        expect = {doc: r + 1 for r, doc in enumerate(keys)}
+        got = dict(zip(a["doc_id"], a["shuffle_rank"]))
+        assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashSplit:
+    def test_split_fractions_and_determinism(self):
+        from vigil_ray.stages.corpus import hash_split
+
+        rows = [{"doc_id": i} for i in range(1000)]
+        out = hash_split(_ds(rows), "doc_id").to_pandas()
+        frac = out["split"].value_counts(normalize=True)
+        assert 0.7 < frac["train"] < 0.9
+        assert frac.get("val", 0) > 0.03 and frac.get("test", 0) > 0.03
+        # spot-check the definition
+        row0 = out[out["doc_id"] == 0]["split"].iloc[0]
+        b = int(hashlib.md5(b"0:42").hexdigest()[:8], 16) % 100
+        expect = "train" if b < 80 else "val" if b < 90 else "test"
+        assert row0 == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomAntiJoin:
+    def test_exact_anti_semantics(self):
+        from vigil_ray.stages.corpus import bloom_anti_join
+
+        rows = [{"k": i % 50, "payload": i} for i in range(300)]
+        block = [{"b": v} for v in (3, 17, 42)]
+        out = bloom_anti_join(
+            _ds(rows), _ds(block), key_col="k", blocklist_col="b", m_bits=1 << 12
+        ).to_pandas()
+        assert set(out["k"]) == set(range(50)) - {3, 17, 42}
+        assert len(out) == 300 - 3 * 6  # 6 rows per key
+
+    def test_tiny_bloom_forces_fp_path_still_exact(self):
+        """With m_bits tiny every row is bloom-positive → the exact verify
+        join carries the result alone; output must be identical."""
+        from vigil_ray.stages.corpus import bloom_anti_join
+
+        rows = [{"k": i, "payload": i} for i in range(64)]
+        block = [{"b": v} for v in (1, 2)]
+        out = bloom_anti_join(
+            _ds(rows), _ds(block), key_col="k", blocklist_col="b", m_bits=8
+        ).to_pandas()
+        assert set(out["k"]) == set(range(64)) - {1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupQuantileFilter:
+    def test_matches_quantile_disc(self):
+        import duckdb
+
+        from vigil_ray.stages.corpus import group_quantile_filter
+
+        rows = [
+            {"g": "a" if i % 3 else "b", "v": (i * 11) % 29, "id": i}
+            for i in range(120)
+        ]
+        out = group_quantile_filter(_ds(rows), "g", "v", 0.7).to_pandas()
+        con = duckdb.connect()
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        con.register("t", df)
+        expect = con.execute(
+            "SELECT id FROM t JOIN (SELECT g, quantile_disc(v, 0.7) q FROM t GROUP BY g) s "
+            "USING (g) WHERE v >= q"
+        ).df()
+        assert sorted(out["id"]) == sorted(expect["id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerKeyCap:
+    def test_caps_to_smallest_ids(self):
+        from vigil_ray.stages.corpus import per_key_cap
+
+        rows = [{"key": f"s{i % 4}", "doc_id": i} for i in range(40)]
+        out = per_key_cap(_ds(rows), "key", "doc_id", 3).to_pandas()
+        assert len(out) == 12
+        for k, grp in out.groupby("key"):
+            ids = sorted(r for r in rows_ids(rows, k))[:3]
+            assert sorted(grp["doc_id"]) == ids
+
+
+def rows_ids(rows, key):
+    return [r["doc_id"] for r in rows if r["key"] == key]

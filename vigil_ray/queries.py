@@ -1389,6 +1389,109 @@ _HTML_EXPR = (
 
 
 # --------------------------------------------------------------------------
+# training-corpus preparation operators (stages/corpus.py, round 3)
+# --------------------------------------------------------------------------
+
+def q_doc_segment_dedup(sf_dir: str):
+    """C4-style cross-corpus segment dedup (10-word segments): each distinct
+    segment survives once (min doc, then min position) and docs are rebuilt
+    from their surviving segments — one groupby(segment) with a min-winner
+    accumulator + one reassembly groupby(doc), no joins."""
+    from vigil_ray.stages.corpus import segment_dedup
+
+    return segment_dedup(_docs(sf_dir, ["doc_id", "text"]), seg_words=10)
+
+
+def q_doc_pack_shards(sf_dir: str):
+    """Fixed-budget shard packing (distributed ordered prefix sum): docs in
+    id order packed into ~20k-char shards, `floor(prefix_chars / S)` — the
+    SQL window `sum(...) OVER (ORDER BY doc_id)` computed as a two-phase
+    block scan (per-block totals → broadcast offsets → in-block cumsum)."""
+    from vigil_ray.stages.corpus import pack_shards
+
+    return pack_shards(_docs(sf_dir, ["doc_id", "n_chars"]), "doc_id", "n_chars", 20000)
+
+
+def q_docs_shuffle_rank(sf_dir: str):
+    """Seeded reproducible global shuffle: rank = row_number over
+    md5(doc_id:seed) — deterministic at any parallelism, via the same
+    distributed prefix scan (cost=1)."""
+    from vigil_ray.stages.corpus import deterministic_shuffle
+
+    return deterministic_shuffle(_docs(sf_dir, ["doc_id"]), "doc_id", seed=42)
+
+
+def q_docs_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (md5 bucket mod 100: 80/10/10) —
+    embarrassingly parallel, stable across runs and cluster sizes."""
+    from vigil_ray.stages.corpus import hash_split
+
+    return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id", seed=42)
+
+
+def q_events_nonblocked_counts(sf_dir: str):
+    """Bloom-filtered anti join: events from users NOT on the blocklist
+    (customers with negative balance), counted per type. The Bloom bitmap is
+    broadcast once; only bloom-positive rows enter the exact ``left_anti``
+    hash join — bloom-negative rows (no false negatives) never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import bloom_anti_join
+
+    events = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    blocked = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+
+    def negative_balance(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.less(b.column("c_acctbal"), 0)).select(["c_custkey"])
+
+    blocked = blocked.map_batches(negative_balance, batch_format="pyarrow")
+    kept = bloom_anti_join(
+        events, blocked, key_col="user_id", blocklist_col="c_custkey", m_bits=1 << 16
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts = Counter(batch.column("event_type").to_pylist())
+        return pa.table(
+            {
+                "event_type": pa.array(list(counts.keys()), pa.string()),
+                "n_partial": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+
+def q_docs_top_decile_per_lang(sf_dir: str):
+    """Per-group quality-quantile filter: keep docs at or above their
+    language's 0.9 length quantile (``quantile_disc`` semantics) — per-group
+    value histograms partial-aggregated, thresholds broadcast, one filter
+    pass."""
+    from vigil_ray.stages.corpus import group_quantile_filter
+
+    return group_quantile_filter(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), "lang", "n_chars", 0.9
+    )
+
+
+def q_docs_source_cap(sf_dir: str):
+    """Per-source document cap (domain-cap operator): at most 10 docs per
+    source, smallest ids kept — collect-truncate aggregate, shuffle carries
+    ≤10 ids per (block, source)."""
+    from vigil_ray.stages.corpus import per_key_cap
+
+    return per_key_cap(_docs(sf_dir, ["doc_id", "source"]), "source", "doc_id", 10)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1441,6 +1544,13 @@ def queries() -> Dict[str, Callable]:
         "embedding_centroids": q_embedding_centroids,
         "confidence_histogram": q_confidence_histogram,
         "eval_boolean_labels": q_eval_boolean_labels,
+        "doc_segment_dedup": q_doc_segment_dedup,
+        "doc_pack_shards": q_doc_pack_shards,
+        "docs_shuffle_rank": q_docs_shuffle_rank,
+        "docs_hash_split": q_docs_hash_split,
+        "events_nonblocked_counts": q_events_nonblocked_counts,
+        "docs_top_decile_per_lang": q_docs_top_decile_per_lang,
+        "docs_source_cap": q_docs_source_cap,
     }
 
 
@@ -1764,5 +1874,48 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  WHEN 6 THEN 'nao' WHEN 7 THEN 'verdadeiro' END AS label_raw, "
             "(doc_id % 8) IN (0, 1, 2, 3, 7) AS label_bool "
             "FROM documents"
+        ),
+        # --- training-corpus prep operators (stages/corpus.py) -------------
+        "doc_segment_dedup": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "ex AS (SELECT doc_id, words, unnest(range(1, "
+            "  CAST(ceil(array_length(words) / 10.0) AS BIGINT) + 1)) AS idx FROM w), "
+            "segs AS (SELECT doc_id, idx, "
+            "  array_to_string(words[((idx-1)*10+1):(idx*10)], ' ') AS seg FROM ex), "
+            "wd AS (SELECT seg, min(doc_id) AS doc_id FROM segs GROUP BY seg), "
+            "wr AS (SELECT s.seg, s.doc_id, min(s.idx) AS seg_idx FROM segs s "
+            "  JOIN wd ON s.seg = wd.seg AND s.doc_id = wd.doc_id GROUP BY s.seg, s.doc_id) "
+            "SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup "
+            "FROM wr GROUP BY doc_id"
+        ),
+        "doc_pack_shards": (
+            "SELECT doc_id, CAST(floor((CAST(sum(n_chars) OVER (ORDER BY doc_id) AS DOUBLE) "
+            "- n_chars) / 20000.0) AS BIGINT) AS shard_id FROM documents"
+        ),
+        "docs_shuffle_rank": (
+            "SELECT doc_id, row_number() OVER "
+            "(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS shuffle_rank "
+            "FROM documents"
+        ),
+        "docs_hash_split": (
+            "SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT) "
+            "% 100 AS b FROM documents)"
+        ),
+        "events_nonblocked_counts": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) "
+            "GROUP BY event_type"
+        ),
+        "docs_top_decile_per_lang": (
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN "
+            "(SELECT lang, quantile_disc(n_chars, 0.9) AS q FROM documents GROUP BY lang) t "
+            "ON d.lang = t.lang WHERE d.n_chars >= t.q"
+        ),
+        "docs_source_cap": (
+            "SELECT source, doc_id FROM (SELECT source, doc_id, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 10"
         ),
     }
