@@ -178,3 +178,66 @@ class TestPerKeyCap:
 
 def rows_ids(rows, key):
     return [r["doc_id"] for r in rows if r["key"] == key]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrefixMax:
+    def test_exclusive_running_max(self):
+        from vigil_ray.stages.corpus import prefix_scan
+
+        vals = [5, 3, 9, 1, 9, 2, 11, 4]
+        rows = [{"k": i, "v": v} for i, v in enumerate(vals)]
+        out = prefix_scan(_ds(rows), ["k"], cost_col="v", op="max").to_pandas()
+        out = out.sort_values("k")
+        got = out["cum_excl"].tolist()
+        assert got[0] == float("-inf")
+        expect = [max(vals[:i]) for i in range(1, len(vals))]
+        assert got[1:] == [float(e) for e in expect]
+
+    def test_rejects_bad_op(self):
+        from vigil_ray.stages.corpus import prefix_scan
+
+        with pytest.raises(ValueError):
+            prefix_scan(_ds([{"k": 1, "v": 1}]), ["k"], cost_col="v", op="min")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWatermarkWindows:
+    def _events(self):
+        # arrival order a: minute-ts events; event at t=100min arrives
+        # before the t=10min event → with 30min lateness the t=10 event is
+        # late (wm 100-30=70 > 10); t=95 event arrives later but within
+        # lateness (95 >= 70) → accepted
+        import pandas as pd
+
+        rows = [
+            {"event_id": 1, "a": 1, "event_type": "x", "m": 100},
+            {"event_id": 2, "a": 2, "event_type": "x", "m": 10},
+            {"event_id": 3, "a": 3, "event_type": "x", "m": 95},
+            {"event_id": 4, "a": 4, "event_type": "y", "m": 130},
+        ]
+        for r in rows:
+            r["ts"] = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=r.pop("m"))
+        return rows
+
+    def test_late_dropped_in_window_counts(self):
+        from vigil_ray.stages.streaming import watermark_windows
+
+        out = watermark_windows(
+            _ds(self._events()), arrival_cols=("a",), window_minutes=60,
+            lateness_minutes=30,
+        ).to_pandas()
+        got = {
+            (r["event_type"], r["window_start"].minute + 60 * r["window_start"].hour): r["n"]
+            for _, r in out.iterrows()
+        }
+        # t=100 and t=95 in window [60,120) for x; t=10 dropped; y t=130 in [120,180)
+        assert got == {("x", 60): 2, ("y", 120): 1}
+
+    def test_late_stats(self):
+        from vigil_ray.stages.streaming import late_event_stats
+
+        d = late_event_stats(
+            _ds(self._events()), arrival_cols=("a",), lateness_minutes=30
+        )
+        assert d["n_total"] == 4 and d["n_late"] == 1

@@ -1491,6 +1491,60 @@ def q_docs_source_cap(sf_dir: str):
     return per_key_cap(_docs(sf_dir, ["doc_id", "source"]), "source", "doc_id", 10)
 
 
+def _jittered_arrival(ds):
+    """Deterministic out-of-order delivery model: arrival = event time plus a
+    per-event transport delay of ``(event_id·48271) mod 3600`` seconds. The
+    synthetic events table is time-ordered, so without jitter no event is
+    ever late and the watermark path would be vacuous; with delays spread
+    over an hour and a 30-min allowed lateness, ~20% of events really drop
+    (the oracle counts them identically)."""
+    import pyarrow.compute as pc
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        eid = batch.column("event_id")
+        import numpy as np
+
+        jitter = (
+            (np.asarray(eid.to_pylist(), dtype=np.int64) * 48271) % 3600
+        ) * 1_000_000
+        arr = pc.add(ts_us, pa.array(jitter, pa.int64()))
+        return batch.append_column("arr_us", arr)
+
+    return ds.map_batches(add_arrival, batch_format="pyarrow")
+
+
+def q_events_watermark_windows(sf_dir: str):
+    """Event-time streaming tumbling windows with a watermark (custom-
+    operator class): events replayed in a jittered arrival order
+    (``_jittered_arrival``), watermark = running max event-time − 30 min,
+    late events dropped at arrival, accepted events counted per (type,
+    60-min window). The watermark is an exclusive distributed prefix-max
+    (stages/corpus.prefix_scan op='max') — no sequential actor,
+    byte-identical to single-pass stream semantics."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.streaming import watermark_windows
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"])
+    return watermark_windows(_jittered_arrival(ds), arrival_cols=("arr_us", "event_id"))
+
+
+def q_events_late_stats(sf_dir: str):
+    """Late-arrival metric of the same watermark pass: 1-row
+    (n_total, n_late)."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.streaming import late_event_stats
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    d = late_event_stats(_jittered_arrival(ds), arrival_cols=("arr_us", "event_id"))
+    return pa.table(
+        {
+            "n_total": pa.array([d["n_total"]], pa.int64()),
+            "n_late": pa.array([d["n_late"]], pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1551,6 +1605,8 @@ def queries() -> Dict[str, Callable]:
         "events_nonblocked_counts": q_events_nonblocked_counts,
         "docs_top_decile_per_lang": q_docs_top_decile_per_lang,
         "docs_source_cap": q_docs_source_cap,
+        "events_watermark_windows": q_events_watermark_windows,
+        "events_late_stats": q_events_late_stats,
     }
 
 
@@ -1917,5 +1973,27 @@ SELECT a, b FROM pairdist WHERE d <= 3
         "docs_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id, row_number() OVER "
             "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 10"
+        ),
+        "events_watermark_windows": (
+            "WITH e AS (SELECT event_id, event_type, ts, "
+            "  ts + (CAST((event_id * 48271) % 3600 AS BIGINT) * INTERVAL 1 SECOND) AS arr "
+            "  FROM events), "
+            "s AS (SELECT event_type, ts, max(ts) OVER "
+            "(ORDER BY arr, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM e) "
+            "SELECT event_type, time_bucket(INTERVAL 60 MINUTE, ts) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE wm IS NULL OR ts >= wm - INTERVAL 30 MINUTE "
+            "GROUP BY event_type, window_start"
+        ),
+        "events_late_stats": (
+            "WITH e AS (SELECT event_id, ts, "
+            "  ts + (CAST((event_id * 48271) % 3600 AS BIGINT) * INTERVAL 1 SECOND) AS arr "
+            "  FROM events), "
+            "s AS (SELECT ts, max(ts) OVER (ORDER BY arr, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM e) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_total, "
+            "CAST(count(*) FILTER (WHERE wm IS NOT NULL AND ts < wm - INTERVAL 30 MINUTE) "
+            "AS BIGINT) AS n_late FROM s"
         ),
     }

@@ -152,11 +152,15 @@ def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text", seg_words:
 # distributed ordered prefix sum → shard packing, deterministic shuffle
 # --------------------------------------------------------------------------
 
-def prefix_scan(ds, sort_cols: Sequence[str], cost_col: Optional[str] = None):
-    """Append ``cum_excl`` — the EXCLUSIVE running sum of ``cost_col`` (or the
-    0-based row rank when ``cost_col`` is None) in ``sort_cols`` order.
+def prefix_scan(
+    ds, sort_cols: Sequence[str], cost_col: Optional[str] = None, op: str = "sum"
+):
+    """Append ``cum_excl`` — the EXCLUSIVE running ``op`` ("sum" or "max") of
+    ``cost_col`` (or the 0-based row rank when ``cost_col`` is None, sum
+    only) in ``sort_cols`` order. First row gets 0 for sum, ``-inf`` for max
+    (no preceding rows).
 
-    The canonical two-phase distributed prefix sum:
+    The canonical two-phase distributed prefix scan:
 
     1. globally sort and PIN the block layout (``materialize`` — the barrier
        is inherent: no row can know its prefix before every earlier block's
@@ -164,11 +168,18 @@ def prefix_scan(ds, sort_cols: Sequence[str], cost_col: Optional[str] = None):
     2. pass 1 reduces each block to one (first_key, block_total) row — a
        per-block scalar, collected to the driver (block-count-sized, never
        row-sized);
-    3. exclusive block offsets are broadcast and pass 2 adds the in-block
-       running sum, processing whole blocks (``batch_size=None``) so both
-       passes see the identical layout.
+    3. exclusive block offsets (running sum / running max over blocks) are
+       broadcast and pass 2 combines the in-block running scan, processing
+       whole blocks (``batch_size=None``) so both passes see the identical
+       layout. Sort keys must be unique (block offsets key on the first
+       row's key values).
     """
     import ray
+
+    if op not in ("sum", "max"):
+        raise ValueError(f"unsupported prefix op: {op}")
+    if op == "max" and not cost_col:
+        raise ValueError("prefix max needs a cost column")
 
     ds = ds.sort(list(sort_cols)).materialize()
 
@@ -180,11 +191,11 @@ def prefix_scan(ds, sort_cols: Sequence[str], cost_col: Optional[str] = None):
             return batch.slice(0, 0).select(list(sort_cols)).append_column(
                 "total", pa.array([], pa.float64())
             )
-        total = (
-            float(np.sum(_np(batch.column(cost_col))))
-            if cost_col
-            else float(batch.num_rows)
-        )
+        if cost_col:
+            vals = _np(batch.column(cost_col))
+            total = float(np.max(vals)) if op == "max" else float(np.sum(vals))
+        else:
+            total = float(batch.num_rows)
         # the block's FIRST row carries the sort-key values natively (typed
         # columns, NOT a stringified key — a string sort of numeric keys
         # would order block offsets lexicographically and corrupt the scan)
@@ -198,10 +209,10 @@ def prefix_scan(ds, sort_cols: Sequence[str], cost_col: Optional[str] = None):
     # driver work is O(number of blocks): order block offsets by first key
     totals.sort(key=lambda r: tuple(r[c] for c in sort_cols))
     offsets = {}
-    run = 0.0
+    run = 0.0 if op == "sum" else float("-inf")
     for r in totals:
         offsets[tuple(r[c] for c in sort_cols)] = run
-        run += r["total"]
+        run = run + r["total"] if op == "sum" else max(run, r["total"])
     off_ref = ray.put(offsets)
 
     def add_prefix(batch: pa.Table) -> pa.Table:
@@ -210,7 +221,15 @@ def prefix_scan(ds, sort_cols: Sequence[str], cost_col: Optional[str] = None):
         offs = ray.get(off_ref)
         key = tuple(batch.column(c)[0].as_py() for c in sort_cols)
         base = offs[key]
-        if cost_col:
+        if op == "max":
+            vals = _np(batch.column(cost_col)).astype(np.float64)
+            # exclusive running max: shift the inclusive accumulate right
+            inc = np.maximum.accumulate(vals)
+            cum = np.empty_like(inc)
+            cum[0] = base
+            if len(inc) > 1:
+                cum[1:] = np.maximum(base, inc[:-1])
+        elif cost_col:
             costs = _np(batch.column(cost_col)).astype(np.float64)
             cum = base + np.cumsum(costs) - costs
         else:
