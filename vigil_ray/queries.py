@@ -570,6 +570,14 @@ def q_review_items(sf_dir: str):
     )
 
 
+def _ivf_params(n: int):
+    """Corpus-size-scaled IVF geometry: n_cells ≈ √n (faiss rule of thumb),
+    probe a quarter of them. Fixed small-cell counts stop meeting the recall
+    bound as the corpus grows (16 cells was fine at 500 vectors, not at 5k)."""
+    n_cells = max(16, int(n**0.5))
+    return n_cells, max(4, n_cells // 4)
+
+
 def _ann_query_vec(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -613,7 +621,10 @@ def q_ann_ivf_top10(sf_dir: str):
     from vigil_ray.stages.ann import ivf_topk
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    approx = ivf_topk(ds, _ann_query_vec(sf_dir), k=10).select_columns(["vec_id"])
+    n_cells, n_probe = _ivf_params(ds.count())
+    approx = ivf_topk(
+        ds, _ann_query_vec(sf_dir), k=10, n_cells=n_cells, n_probe=n_probe
+    ).select_columns(["vec_id"])
     return _ann_recall_table(approx, sf_dir)
 
 
@@ -630,13 +641,17 @@ def q_ann_ivf_persisted_top10(sf_dir: str):
     from vigil_ray.stages.ann import data_fingerprint, ivf_build, ivf_query
 
     src = f"{sf_dir}/embeddings.parquet"
+    ds = read_table(src)
+    n_cells, n_probe = _ivf_params(ds.count())
     # version-keyed: bump when the index layout or kmeans seed changes so a
     # cached build from an older code version can't serve stale results
-    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v2"
-    ivf_build(read_table(src), index_dir, fingerprint=data_fingerprint(src))
-    approx = ivf_query(index_dir, _ann_query_vec(sf_dir), k=10).select_columns(
-        ["vec_id"]
+    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
+    ivf_build(
+        ds, index_dir, n_cells=n_cells, fingerprint=data_fingerprint(src)
     )
+    approx = ivf_query(
+        index_dir, _ann_query_vec(sf_dir), k=10, n_probe=n_probe
+    ).select_columns(["vec_id"])
     return _ann_recall_table(approx, sf_dir)
 
 

@@ -279,9 +279,13 @@ def simhash_pairs(
     id_col: str = "vid",
     text_col: str = "text",
     max_distance: int = 3,
-    max_bucket: int = 200,
+    max_bucket: int = 2000,
 ):
-    """Pairs within Hamming distance ≤ max_distance via 4-chunk banding."""
+    """Pairs within Hamming distance ≤ max_distance via 4-chunk banding.
+
+    ``max_bucket`` guards true degenerates only (this op is EXACT-oracle
+    checked, so the cap must exceed any legitimate 16-bit-chunk bucket at
+    test scale — sf0.1 measures max 398; truncation warns loudly)."""
     import ray
     import pandas as pd
 
