@@ -241,3 +241,75 @@ class TestWatermarkWindows:
             _ds(self._events()), arrival_cols=("a",), lateness_minutes=30
         )
         assert d["n_total"] == 4 and d["n_late"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerGroupSample:
+    def test_deterministic_and_sized(self):
+        from vigil_ray.stages.corpus import per_group_sample
+
+        rows = [{"g": f"g{i % 3}", "doc_id": i} for i in range(90)]
+        a = per_group_sample(_ds(rows), "g", "doc_id", 4).to_pandas()
+        b = per_group_sample(_ds(rows), "g", "doc_id", 4).to_pandas()
+        assert sorted(map(tuple, a.values.tolist())) == sorted(map(tuple, b.values.tolist()))
+        assert a.groupby("g").size().tolist() == [4, 4, 4]
+        # matches the md5 definition
+        key = lambda v: hashlib.md5(f"{v}:7".encode()).hexdigest()
+        for g in ("g0", "g1", "g2"):
+            ids = [r["doc_id"] for r in rows if r["g"] == g]
+            expect = sorted(sorted(ids, key=key)[:4])
+            got = sorted(a[a["g"] == g]["doc_id"])
+            assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def test_strictly_ordered_stages(self):
+        import pandas as pd
+
+        from vigil_ray.stages.sessions import funnel_counts
+
+        t = lambda m: pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
+        rows = [
+            # user 1 completes the funnel in order
+            {"user_id": 1, "event_type": "signup", "ts": t(0)},
+            {"user_id": 1, "event_type": "click", "ts": t(5)},
+            {"user_id": 1, "event_type": "purchase", "ts": t(9)},
+            # user 2: click BEFORE signup only → stage 2 not reached
+            {"user_id": 2, "event_type": "click", "ts": t(0)},
+            {"user_id": 2, "event_type": "signup", "ts": t(5)},
+            # user 3: signup+click, purchase before the click → stalls at click
+            {"user_id": 3, "event_type": "signup", "ts": t(0)},
+            {"user_id": 3, "event_type": "purchase", "ts": t(1)},
+            {"user_id": 3, "event_type": "click", "ts": t(2)},
+            # user 4: never signed up
+            {"user_id": 4, "event_type": "purchase", "ts": t(3)},
+        ]
+        out = funnel_counts(
+            _ds(rows), ("signup", "click", "purchase")
+        ).to_pandas()
+        got = dict(zip(out["stage"], out["n_users"]))
+        assert got == {"signup": 3, "click": 2, "purchase": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantize:
+    def test_codes_and_scale(self):
+        from vigil_ray.stages.embeddings import quantize_embeddings
+
+        rows = [
+            {"vec_id": 1, "embedding": [1.0, -0.5, 0.25]},
+            {"vec_id": 2, "embedding": [0.0, 0.0]},  # zero vector dropped
+        ]
+        out = quantize_embeddings(_ds(rows)).to_pandas()
+        assert out["vec_id"].tolist() == [1]
+        assert out["qvec"].iloc[0] == "127,-64,32"  # -63.5 → -64 half-away
+        assert abs(out["scale"].iloc[0] - 127.0) < 1e-9
+
+    def test_half_away_rounding(self):
+        from vigil_ray.stages.embeddings import _round_half_away
+        import numpy as np
+
+        assert _round_half_away(np.array([0.5, 1.5, -0.5, -1.5, 2.4])).tolist() == [
+            1.0, 2.0, -1.0, -2.0, 2.0,
+        ]

@@ -1560,6 +1560,38 @@ def q_events_late_stats(sf_dir: str):
     )
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (sequential-pattern operator): users who signed up,
+    then clicked strictly after their first signup, then purchased strictly
+    after that first qualifying click. Collect-list per user + vectorized
+    stage resolution; global counts are partial sums."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sessions import funnel_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ("signup", "click", "purchase"))
+
+
+def q_docs_sample_per_lang(sf_dir: str):
+    """Deterministic reservoir-style stratified sample: the 5 docs with the
+    smallest md5(doc_id:7) per language — a seeded uniform sample per
+    stratum, reproducible at any parallelism (collect-truncate shuffle)."""
+    from vigil_ray.stages.corpus import per_group_sample
+
+    return per_group_sample(_docs(sf_dir, ["doc_id", "lang"]), "lang", "doc_id", 5)
+
+
+def q_embeddings_quantized(sf_dir: str):
+    """Per-vector symmetric int8 quantization (scale=127/max|x|,
+    half-away-from-zero rounding to match SQL round()); qvec emitted
+    comma-joined for a representation-stable driver hash."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.embeddings import quantize_embeddings
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1622,6 +1654,9 @@ def queries() -> Dict[str, Callable]:
         "docs_source_cap": q_docs_source_cap,
         "events_watermark_windows": q_events_watermark_windows,
         "events_late_stats": q_events_late_stats,
+        "events_funnel": q_events_funnel,
+        "docs_sample_per_lang": q_docs_sample_per_lang,
+        "embeddings_quantized": q_embeddings_quantized,
     }
 
 
@@ -2010,5 +2045,34 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT CAST(count(*) AS BIGINT) AS n_total, "
             "CAST(count(*) FILTER (WHERE wm IS NOT NULL AND ts < wm - INTERVAL 30 MINUTE) "
             "AS BIGINT) AS n_late FROM s"
+        ),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "  WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+            "  WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+            "  WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM s2 "
+            "UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3"
+        ),
+        "docs_sample_per_lang": (
+            "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) "
+            "AS rn FROM documents) WHERE rn <= 5"
+        ),
+        "embeddings_quantized": (
+            "WITH m AS (SELECT vec_id, embedding, "
+            "  list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS mx "
+            "  FROM embeddings), "
+            "s AS (SELECT vec_id, embedding, 127.0 / mx AS sc FROM m WHERE mx > 0) "
+            "SELECT vec_id, array_to_string(list_transform(embedding, x -> "
+            "  CAST(CAST(CASE WHEN CAST(x AS DOUBLE) * sc >= 0 "
+            "  THEN floor(CAST(x AS DOUBLE) * sc + 0.5) "
+            "  ELSE ceil(CAST(x AS DOUBLE) * sc - 0.5) END AS BIGINT) AS VARCHAR)), ',') "
+            "AS qvec, round(sc, 6) AS scale FROM s"
         ),
     }

@@ -529,3 +529,47 @@ def per_key_cap(ds, key_col: str, id_col: str, cap: int):
         )
 
     return per_key.map_batches(explode, batch_format="pyarrow")
+
+
+def per_group_sample(ds, group_col: str, id_col: str, k: int, seed: int = 7):
+    """Deterministic reservoir-style sample: the ``k`` rows with the smallest
+    ``md5(id:seed)`` per group — the distributed equivalent of a seeded
+    uniform without-replacement sample per stratum, reproducible at any
+    parallelism. Collect-truncate accumulator: the shuffle carries ≤k
+    (hash, id) pairs per (block, group). Output: (group, id)."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import AggregateFn
+
+    def _key(v) -> str:
+        return f"{_hl.md5(f'{v}:{seed}'.encode()).hexdigest()}\x1f{v:012d}"
+
+    def _cap(items: list) -> list:
+        return sorted(items)[:k]
+
+    collect = AggregateFn(
+        init=lambda g: [],
+        merge=lambda a, b: _cap(a + b),
+        name="sampled",
+        accumulate_block=lambda acc, block: _cap(
+            acc + [_key(v) for v in block.column(id_col).to_pylist()]
+        ),
+    )
+    per_group = ds.groupby(group_col).aggregate(collect)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        groups, ids = [], []
+        for g, kept in zip(
+            batch.column(group_col).to_pylist(), batch.column("sampled").to_pylist()
+        ):
+            for enc in kept:
+                groups.append(g)
+                ids.append(int(enc.rsplit("\x1f", 1)[1]))
+        return pa.table(
+            {
+                group_col: pa.array(groups, batch.column(group_col).type),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    return per_group.map_batches(explode, batch_format="pyarrow")

@@ -64,3 +64,66 @@ def sessionize(ds, gap_minutes: int = 30):
         )
 
     return per_user.map_batches(windows, batch_format="pyarrow")
+
+
+def funnel_counts(ds, stages_types, user_col: str = "user_id", ts_col: str = "ts"):
+    """Ordered funnel (sequential-pattern operator): how many users performed
+    stage 1, then stage 2 strictly after their first stage-1 event, then
+    stage 3 strictly after that, ... Per-user event histories are gathered
+    with the collect-list aggregate (bounded by one user's history — the
+    sessionize assumption) and each user's stage times resolve in one
+    vectorized pass; global counts are partial sums. Returns a
+    (stage, n_users) table in funnel order."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn, Sum
+
+    type_code = {t: i for i, t in enumerate(stages_types)}
+
+    def _pairs(block) -> list:
+        ts = pc.cast(pc.cast(block.column(ts_col), pa.timestamp("us")), pa.int64())
+        return [
+            (t, type_code[e])
+            for t, e in zip(ts.to_pylist(), block.column("event_type").to_pylist())
+            if e in type_code
+        ]
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        name="evs",
+        accumulate_block=lambda acc, block: acc + _pairs(block),
+    )
+    per_user = ds.groupby(user_col).aggregate(collect)
+    n_stages = len(stages_types)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reached = [0] * n_stages
+        for evs in batch.column("evs").to_pylist():
+            by_code: dict = {}
+            for t, c in (tuple(e) for e in evs):
+                by_code.setdefault(c, []).append(t)
+            cutoff = -1
+            for s in range(n_stages):
+                nxt = [t for t in by_code.get(s, ()) if t > cutoff]
+                if not nxt:
+                    break
+                cutoff = min(nxt)
+                reached[s] += 1
+        return pa.table(
+            {
+                f"s{i}": pa.array([reached[i]], pa.int64())
+                for i in range(n_stages)
+            }
+        )
+
+    agg = per_user.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"s{i}", alias_name=f"s{i}") for i in range(n_stages)]
+    )
+    return pa.table(
+        {
+            "stage": pa.array(list(stages_types), pa.string()),
+            "n_users": pa.array(
+                [int(agg[f"s{i}"] or 0) for i in range(n_stages)], pa.int64()
+            ),
+        }
+    )
