@@ -313,3 +313,65 @@ class TestQuantize:
         assert _round_half_away(np.array([0.5, 1.5, -0.5, -1.5, 2.4])).tolist() == [
             1.0, 2.0, -1.0, -2.0, 2.0,
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusPrep:
+    def test_end_to_end_partitioned_output(self, tmp_path):
+        """dedup → split → per-split shard packing → partitioned write."""
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vigil_ray.pipelines.corpus_prep import prepare_corpus
+
+        rows = []
+        for i in range(60):
+            # 3 duplicate groups of 2 + 54 uniques
+            text = f"doc body {i % 57} content"
+            rows.append(
+                {"url": f"u{i:03d}", "text_scrubbed": text, "keep": i % 10 != 9}
+            )
+        ds = rd.from_items(rows).repartition(4)
+        out = str(tmp_path / "corpus")
+        final = prepare_corpus(ds, out, shard_chars=100)
+        got = final.to_pandas()
+
+        kept = [r for r in rows if r["keep"]]
+        # dedup: first url per distinct text among kept rows
+        firsts = {}
+        for r in sorted(kept, key=lambda r: r["url"]):
+            firsts.setdefault(r["text_scrubbed"], r["url"])
+        assert sorted(got["url"]) == sorted(firsts.values())
+        # split column present and partitioned dirs exist
+        assert set(got["split"]) <= {"train", "val", "test"}
+        splits_on_disk = {d for d in os.listdir(out) if d.startswith("split=")}
+        assert splits_on_disk == {f"split={s}" for s in set(got["split"])}
+        # shard ids start at 0 within every split and are contiguous
+        for sp, grp in got.groupby("split"):
+            ids = sorted(set(grp["shard_id"]))
+            assert ids == list(range(len(ids)))
+        # read-back row count matches
+        back = rd.read_parquet(out).count()
+        assert back == len(got)
+
+    def test_rerun_deterministic(self, tmp_path):
+        import ray.data as rd
+
+        from vigil_ray.pipelines.corpus_prep import prepare_corpus
+
+        rows = [
+            {"url": f"u{i:03d}", "text_scrubbed": f"t {i % 20}", "keep": True}
+            for i in range(40)
+        ]
+        a = prepare_corpus(
+            rd.from_items(rows).repartition(3), str(tmp_path / "a"), shard_chars=50
+        ).to_pandas()
+        b = prepare_corpus(
+            rd.from_items(rows).repartition(5), str(tmp_path / "b"), shard_chars=50
+        ).to_pandas()
+        key = ["url", "split", "shard_id"]
+        assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+            map(tuple, b[key].values.tolist())
+        )

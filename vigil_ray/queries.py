@@ -1592,6 +1592,28 @@ def q_embeddings_quantized(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+def q_corpus_prep_assignments(sf_dir: str):
+    """The COMPOSED corpus-prep pipeline (pipelines/corpus_prep.py):
+    detect+scrub → exact dedup (min url per content hash) → deterministic
+    hash split → per-split prefix-sum shard packing → partitioned write.
+    Oracle rebuilds the identical (url, split, shard_id) assignment from the
+    by-construction scrub SQL + group-by dedup + md5 buckets + a windowed
+    prefix sum — an end-to-end check of the whole composition."""
+    import shutil
+    import tempfile
+
+    from vigil_ray.pipelines.corpus_prep import prepare_corpus
+    from vigil_ray.stages.detect import detect_stage
+
+    ds = detect_stage(_pages_ds(sf_dir), PipelineConfig())
+    out_dir = tempfile.mkdtemp(prefix="vigil_corpus_prep_", dir="/tmp")
+    try:
+        final = prepare_corpus(ds, out_dir, shard_chars=20000)
+        return final.select_columns(["url", "split", "shard_id"]).materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1657,6 +1679,7 @@ def queries() -> Dict[str, Callable]:
         "events_funnel": q_events_funnel,
         "docs_sample_per_lang": q_docs_sample_per_lang,
         "embeddings_quantized": q_embeddings_quantized,
+        "corpus_prep_assignments": q_corpus_prep_assignments,
     }
 
 
@@ -2074,5 +2097,23 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  THEN floor(CAST(x AS DOUBLE) * sc + 0.5) "
             "  ELSE ceil(CAST(x AS DOUBLE) * sc - 0.5) END AS BIGINT) AS VARCHAR)), ',') "
             "AS qvec, round(sc, 6) AS scale FROM s"
+        ),
+        "corpus_prep_assignments": (
+            f"WITH scrub AS (SELECT {_URL_EXPR} AS url, "
+            "  CASE WHEN doc_id % 20 = 10 THEN "
+            "  array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ') "
+            f"  ELSE trim(text || {_SCRUB_SUFFIX_CASE}) END AS text_scrubbed "
+            "  FROM documents), "
+            "ded AS (SELECT min(url) AS url FROM scrub GROUP BY text_scrubbed), "
+            "dd AS (SELECT s.url, s.text_scrubbed FROM scrub s "
+            "  JOIN ded ON s.url = ded.url), "
+            "sp AS (SELECT url, length(text_scrubbed) AS n_chars, "
+            "  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END "
+            "  AS split FROM (SELECT url, text_scrubbed, "
+            "  CAST('0x' || substr(md5(url || ':42'), 1, 8) AS BIGINT) % 100 AS b "
+            "  FROM dd)) "
+            "SELECT url, split, CAST(floor((CAST(sum(n_chars) OVER "
+            "(PARTITION BY split ORDER BY url) AS DOUBLE) - n_chars) / 20000.0) "
+            "AS BIGINT) AS shard_id FROM sp"
         ),
     }

@@ -306,11 +306,14 @@ def hash_split(
     seed: int = 42,
     bounds: Tuple[int, int] = (80, 90),
     labels: Tuple[str, str, str] = ("train", "val", "test"),
+    append: bool = False,
 ):
     """Stable split assignment: ``bucket = int(md5(id:seed)[:8], 16) % 100``;
     bucket < bounds[0] → train, < bounds[1] → val, else test. A pure
     embarrassingly-parallel map — the split of any document never depends on
     the rest of the corpus, so it is identical at any scale or parallelism.
+    ``append=True`` keeps every input column (pipeline composition);
+    default output is the bare (id, split) table.
     """
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -320,12 +323,10 @@ def hash_split(
             out.append(
                 labels[0] if bucket < bounds[0] else labels[1] if bucket < bounds[1] else labels[2]
             )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "split": pa.array(out, pa.string()),
-            }
-        )
+        split = pa.array(out, pa.string())
+        if append:
+            return batch.append_column("split", split)
+        return pa.table({id_col: batch.column(id_col), "split": split})
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
