@@ -92,8 +92,11 @@ def prepare_corpus(
     )
 
     # 3. deterministic split — appended in place (embarrassingly parallel;
-    # no self-join of the dedup lineage)
-    with_split = hash_split(deduped, key_col, seed=seed, append=True)
+    # no self-join of the dedup lineage). Materialized ONCE: the three
+    # per-split prefix scans below each consume it, and without the pin the
+    # whole dedup lineage would re-execute per split (the prefix scan
+    # materializes anyway, so this adds no extra barrier).
+    with_split = hash_split(deduped, key_col, seed=seed, append=True).materialize()
 
     # 4. shard packing WITHIN each split (training shards must not straddle
     # splits): one prefix scan per split over its filtered subset

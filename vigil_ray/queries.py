@@ -1614,6 +1614,89 @@ def q_corpus_prep_assignments(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_events_moving_sum(sf_dir: str):
+    """Per-key moving-window aggregate (SQL ``ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW``): the sliding 5-event sum of value (exact integer cents —
+    float windowed averages are rounding-order-dependent) per user in
+    (ts, event_id) order. Collect-list per user + vectorized cumsum
+    difference per batch of users — no per-group UDF dispatch."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def _triples(block) -> list:
+        ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
+        cents = [int(round(v * 100)) for v in block.column("value").to_pylist()]
+        return list(zip(ts.to_pylist(), block.column("event_id").to_pylist(), cents))
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        name="evs",
+        accumulate_block=lambda acc, block: acc + _triples(block),
+    )
+    per_user = ds.groupby("user_id").aggregate(collect)
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        eids, sums = [], []
+        for evs in batch.column("evs").to_pylist():
+            rows = sorted(tuple(e) for e in evs)  # (ts, event_id, cents)
+            cents = np.array([r[2] for r in rows], dtype=np.int64)
+            cum = np.concatenate([[0], np.cumsum(cents)])
+            n = len(cents)
+            lo = np.maximum(0, np.arange(n) - 4)
+            win = cum[np.arange(n) + 1] - cum[lo]
+            eids.extend(r[1] for r in rows)
+            sums.extend(win.tolist())
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "mov_sum_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(windowed, batch_format="pyarrow")
+
+
+def q_events_type_pivot(sf_dir: str):
+    """Pivot / crosstab: one row per user with per-type event counts as
+    COLUMNS. Partial (user, type)→count maps per batch, one groupby(user)
+    summing the fixed column set — the shuffle carries ≤1 row per (block,
+    user), never events."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    types = ("click", "view", "purchase", "signup", "error")
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter(
+            zip(batch.column("user_id").to_pylist(), batch.column("event_type").to_pylist())
+        )
+        users = sorted({u for u, _ in counts})
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for t in types:
+            cols[f"n_{t}"] = pa.array(
+                [counts.get((u, t), 0) for u in users], pa.int64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1680,6 +1763,8 @@ def queries() -> Dict[str, Callable]:
         "docs_sample_per_lang": q_docs_sample_per_lang,
         "embeddings_quantized": q_embeddings_quantized,
         "corpus_prep_assignments": q_corpus_prep_assignments,
+        "events_moving_sum": q_events_moving_sum,
+        "events_type_pivot": q_events_type_pivot,
     }
 
 
@@ -2115,5 +2200,20 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT url, split, CAST(floor((CAST(sum(n_chars) OVER "
             "(PARTITION BY split ORDER BY url) AS DOUBLE) - n_chars) / 20000.0) "
             "AS BIGINT) AS shard_id FROM sp"
+        ),
+        "events_moving_sum": (
+            "SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents "
+            "FROM events"
+        ),
+        "events_type_pivot": (
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error "
+            "FROM events GROUP BY user_id"
         ),
     }
