@@ -349,7 +349,8 @@ def q_dedup_embedding_pairs(sf_dir: str):
 
 
 def q_events_sessions(sf_dir: str):
-    """30-min-gap sessionization per user (groupby → ordered map_groups)."""
+    """30-min-gap sessionization per user (collect-list aggregate +
+    vectorized per-user gap scan — see stages/sessions.py)."""
     from vigil_ray.sources.readers import read_table
     from vigil_ray.stages.sessions import sessionize
 
@@ -1037,17 +1038,50 @@ def q_events_kmv_users(sf_dir: str):
 
 
 def q_top3_docs_per_lang(sf_dir: str):
-    """Per-group top-k: 3 longest documents per language (groupby →
-    ordered head inside the group; ties broken by doc_id)."""
-    import pandas as pd
-
-    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)[
-            ["lang", "doc_id", "n_chars"]
-        ]
+    """Per-group top-k: 3 longest documents per language, ties broken by
+    doc_id — collect-TRUNCATE aggregate (the lang_top_docs_concat shape):
+    the accumulator never holds more than 3 (n_chars, doc_id) pairs, so the
+    shuffle carries ≤3 rows per (block, lang) instead of the whole language
+    partition (a language is billions of docs at web scale — a
+    ``map_groups`` head would shuffle and single-task all of them)."""
+    from ray.data.aggregate import AggregateFn
 
     ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-    return ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+    def _top3(rows: list) -> list:
+        return sorted(rows, key=lambda t: (-t[0], t[1]))[:3]
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: _top3(a + b),
+        name="top",
+        accumulate_block=lambda acc, block: _top3(
+            acc
+            + list(
+                zip(block.column("n_chars").to_pylist(), block.column("doc_id").to_pylist())
+            )
+        ),
+    )
+    per_lang = ds.groupby("lang").aggregate(collect)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        langs, ids, chars = [], [], []
+        for lang, top in zip(
+            batch.column("lang").to_pylist(), batch.column("top").to_pylist()
+        ):
+            for n, d in _top3([tuple(p) for p in top]):
+                langs.append(lang)
+                ids.append(d)
+                chars.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return per_lang.map_batches(explode, batch_format="pyarrow")
 
 
 def q_doc_length_quantiles(sf_dir: str):
