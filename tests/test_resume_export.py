@@ -263,3 +263,33 @@ class TestAnalyzeErrorsCli:
         assert "FALSE POSITIVES" in proc.stdout
         assert "Text:" in proc.stdout  # sample-text join attached
         assert "IMPROVEMENT SUGGESTIONS" in proc.stdout
+
+    def test_predictions_csv_roundtrip(self, tmp_path):
+        """CSV predictions (tipos as comma-joined strings, booleans as text)
+        are normalized back — the reference's CSV-first workflow."""
+        import subprocess
+        import sys
+
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(6)],
+                "contem_pii": ["True", "False", "sim", "0", "true", "nao"],
+                "tipos_detectados": ["cpf, email", "", "nome", "", "cpf", ""],
+                "confianca": [0.95, 0.0, 0.8, 0.0, 0.9, 0.0],
+                "text_scrubbed": [f"texto {i}" for i in range(6)],
+            }
+        )
+        inp = str(tmp_path / "preds.csv")
+        df.to_csv(inp, index=False)
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "vigil_ray.analyze_errors",
+                "--predictions", inp, "--num-cpus", "4",
+            ],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "PII detected:     3 (50.0%)" in proc.stdout
+        assert "cpf" in proc.stdout and "email" in proc.stdout

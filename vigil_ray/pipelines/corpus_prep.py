@@ -9,8 +9,9 @@ job actually runs AFTER the flagship quality filter.
 
 Every stage is one of the already-oracle-checked operators
 (``stages/corpus.py``); this module contributes the COMPOSITION and the
-partitioned, resumable output layout (one directory per (split, shard) —
-a failed run reruns only missing partitions via the parquet layout itself).
+partitioned output layout (one directory per (split, shard)) — the layout a
+manifest-driven rerun (``pipelines/manifest.run_resumable`` over input
+shards) diffs to skip finished work.
 
 Scale notes: the only shuffle is the exact-dedup groupby (carrying
 (hash, url)-sized rows) and the prefix-scan sort (id-ordered, two passes
