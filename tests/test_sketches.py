@@ -42,3 +42,24 @@ def test_kmv_stage_matches_single_process():
     assert out["n_distinct_est"].iloc[0] == expected
     # and the estimate is in the right ballpark of the true 300
     assert abs(expected - 300) / 300 < 0.4
+
+
+class TestKmvSetOps:
+    def test_small_sets_exact_and_inclusion_exclusion(self, ray_session):
+        import ray.data as rd
+
+        from vigil_ray.stages.sketches import kmv_two_set
+
+        rows = (
+            [{"u": i, "t": "a"} for i in range(30)]
+            + [{"u": i, "t": "b"} for i in range(20, 50)]
+            + [{"u": 99, "t": "c"}]  # other types ignored
+        )
+        out = kmv_two_set(
+            rd.from_items(rows).repartition(4), "u", "t", "a", "b", k=64
+        ).to_pandas()
+        # under k distinct → sketches are exact sets
+        assert out["est_a"].iloc[0] == 30.0
+        assert out["est_b"].iloc[0] == 30.0
+        assert out["est_union"].iloc[0] == 50.0
+        assert out["est_intersection"].iloc[0] == 10.0

@@ -1731,6 +1731,18 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_events_kmv_setops(sf_dir: str):
+    """KMV sketch SET ALGEBRA (distinct clickers, purchasers, their union
+    and inclusion-exclusion intersection estimate) — one aggregate pass
+    carrying both k-truncated sketches; every estimate exactly recomputed
+    by the SQL oracle from the same md5 hashes."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sketches import kmv_two_set
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return kmv_two_set(ds, "user_id", "event_type", "click", "purchase", k=64)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1799,6 +1811,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_prep_assignments": q_corpus_prep_assignments,
         "events_moving_sum": q_events_moving_sum,
         "events_type_pivot": q_events_type_pivot,
+        "events_kmv_setops": q_events_kmv_setops,
     }
 
 
@@ -2249,5 +2262,25 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
             "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error "
             "FROM events GROUP BY user_id"
+        ),
+        "events_kmv_setops": (
+            "WITH hv AS ( "
+            "  SELECT event_type, "
+            "  (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) + 1) "
+            "  / 18446744073709551616.0 AS h FROM events "
+            "  WHERE event_type IN ('click', 'purchase')), "
+            "ka AS (SELECT DISTINCT h FROM hv WHERE event_type = 'click' ORDER BY h LIMIT 64), "
+            "kb AS (SELECT DISTINCT h FROM hv WHERE event_type = 'purchase' ORDER BY h LIMIT 64), "
+            "ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 64), "
+            "ea AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) "
+            "       ELSE 63.0 / max(h) END AS e FROM ka), "
+            "eb AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) "
+            "       ELSE 63.0 / max(h) END AS e FROM kb), "
+            "eu AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) "
+            "       ELSE 63.0 / max(h) END AS e FROM ku) "
+            "SELECT round(ea.e, 6) AS est_a, round(eb.e, 6) AS est_b, "
+            "round(eu.e, 6) AS est_union, "
+            "round(ea.e + eb.e - eu.e, 6) AS est_intersection "
+            "FROM ea, eb, eu"
         ),
     }

@@ -68,3 +68,65 @@ def kmv_distinct(ds, col: str, k: int = 64):
     smallest = np.asarray(res["kmv"], dtype=np.float64)
     est = round(kmv_estimate(smallest, k), 6)
     return pa.table({"n_distinct_est": pa.array([est], pa.float64())})
+
+
+def kmv_two_set(ds, col: str, type_col: str, type_a: str, type_b: str, k: int = 64):
+    """KMV SET ALGEBRA in one pass: sketches for the keys of two event
+    classes, their union (k smallest of the merged sketches — exactly the
+    KMV of the set union), and the inclusion–exclusion intersection
+    estimate ``|A∩B| ≈ estA + estB − estU``.
+
+    → one-row table (est_a, est_b, est_union, est_intersection), each
+    rounded to 6 dp; the md5 hashing keeps every number SQL-recomputable.
+    One accumulator holds BOTH k-truncated sketches (2k doubles per block
+    partial — the shuffle never sees the key column).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def _partial(block) -> list:
+        types = (
+            block.column(type_col).to_pylist()
+            if isinstance(block, pa.Table)
+            else list(block[type_col])
+        )
+        vals = (
+            block.column(col).to_pylist()
+            if isinstance(block, pa.Table)
+            else list(block[col])
+        )
+        ha = sorted({kmv_hash(v) for v, t in zip(vals, types) if t == type_a})[:k]
+        hb = sorted({kmv_hash(v) for v, t in zip(vals, types) if t == type_b})[:k]
+        return [ha, hb]
+
+    def _merge(left: list, right: list) -> list:
+        if not left:
+            return right
+        if not right:
+            return left
+        return [
+            sorted(set(list(left[0])) | set(list(right[0])))[:k],
+            sorted(set(list(left[1])) | set(list(right[1])))[:k],
+        ]
+
+    sketch = AggregateFn(
+        init=lambda *a: [],
+        merge=_merge,
+        name="kmv2",
+        accumulate_block=lambda acc, block: _merge(acc, _partial(block)),
+    )
+    res = ds.aggregate(sketch)
+    ha, hb = (list(s) for s in res["kmv2"])
+    hu = sorted(set(ha) | set(hb))[:k]
+    est_a = kmv_estimate(np.asarray(ha), k)
+    est_b = kmv_estimate(np.asarray(hb), k)
+    est_u = kmv_estimate(np.asarray(hu), k)
+    return pa.table(
+        {
+            "est_a": pa.array([round(est_a, 6)], pa.float64()),
+            "est_b": pa.array([round(est_b, 6)], pa.float64()),
+            "est_union": pa.array([round(est_u, 6)], pa.float64()),
+            "est_intersection": pa.array(
+                [round(est_a + est_b - est_u, 6)], pa.float64()
+            ),
+        }
+    )
