@@ -80,40 +80,10 @@ def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text", seg_words:
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def _block_min(block) -> list:
-        pairs = list(
-            zip(block.column("doc_id").to_pylist(), block.column("seg_idx").to_pylist())
-        )
-        return list(min(pairs))
-
-    def _merge(a, b):
-        if not a:
-            return b
-        if not b:
-            return a
-        return a if tuple(a) <= tuple(b) else b
-
-    winner = AggregateFn(
-        init=lambda k: [],
-        merge=_merge,
-        name="winner",
-        accumulate_block=lambda acc, block: _merge(acc, _block_min(block)),
-    )
-    winners = exploded.groupby("seg").aggregate(winner)
-
-    # reassemble: (winner_doc, winner_idx, seg) → per-doc ordered join
-    def to_rows(batch: pa.Table) -> pa.Table:
-        segs = batch.column("seg").to_pylist()
-        pairs = batch.column("winner").to_pylist()
-        return pa.table(
-            {
-                "doc_id": pa.array([int(p[0]) for p in pairs], pa.int64()),
-                "seg_idx": pa.array([int(p[1]) for p in pairs], pa.int64()),
-                "seg": pa.array(segs, pa.string()),
-            }
-        )
-
-    kept = winners.map_batches(to_rows, batch_format="pyarrow")
+    # winner per distinct segment = groupby-argmin on (doc_id, seg_idx):
+    # the sorted-adjacency primitive (one native sort, no per-group
+    # aggregate machinery — see sorted_group_min)
+    kept = sorted_group_min(exploded, ["seg"], ["doc_id", "seg_idx"])
 
     # parts are encoded '000000000042\x1f<seg>' strings (zero-padded index
     # prefix sorts numerically): a homogeneous string list stays
@@ -146,6 +116,80 @@ def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text", seg_words:
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def sorted_group_min(rows_ds, key_cols: Sequence[str], value_cols: Sequence[str]):
+    """One row per distinct key: the row with the MINIMUM (lexicographic)
+    value tuple — the groupby-argmin primitive on the sorted-adjacency shape
+    (see ``dedup.sorted_bucket_pairs``): Ray's groupby aggregate pays ~25 µs
+    of machinery per group, a native sort does not.
+
+    Sorting by key_cols + value_cols makes each run's FIRST row its minimum,
+    so interior runs reduce to a vectorized ``take(run_starts)``; only each
+    block's first and last run (the ones that can straddle a boundary) defer
+    their candidate row to the driver, which keeps the min per key across
+    adjacent blocks — ≤2 single rows per block, never buckets."""
+    import ray.data as rd
+
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    all_cols = key_cols + value_cols
+    ds_sorted = rows_ds.sort(all_cols).materialize()
+
+    def _np_col(batch, c):
+        return batch.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+
+    def _run_starts(batch) -> np.ndarray:
+        n = batch.num_rows
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in key_cols:
+            k = _np_col(batch, c)
+            change[1:] |= k[1:] != k[:-1]
+        return np.flatnonzero(change)
+
+    def boundary_candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        starts = _run_starts(batch)
+        picks = [int(starts[0])] if len(starts) == 1 else [int(starts[0]), int(starts[-1])]
+        return batch.take(pa.array(picks, pa.int64())).select(all_cols)
+
+    deferred = ds_sorted.map_batches(
+        boundary_candidates, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    best: dict = {}
+    for r in deferred:
+        k = tuple(r[c] for c in key_cols)
+        v = tuple(r[c] for c in value_cols)
+        if k not in best or v < best[k]:
+            best[k] = v
+    # build the driver rows with the sorted ds's exact column types
+    schema = ds_sorted.schema()
+    if schema is None or not deferred:
+        # empty input (a fully empty materialized Dataset has no schema):
+        # empty output, same (lack of) schema
+        return ds_sorted
+    types = {name: t for name, t in zip(schema.names, schema.types)}
+    cols = {}
+    keys_sorted = sorted(best)
+    for i, c in enumerate(key_cols):
+        cols[c] = pa.array([k[i] for k in keys_sorted], types[c])
+    for j, c in enumerate(value_cols):
+        cols[c] = pa.array([best[k][j] for k in keys_sorted], types[c])
+    boundary_tbl = rd.from_arrow(pa.table(cols))
+
+    def interior_mins(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(all_cols)
+        starts = _run_starts(batch)
+        inner = starts[1:-1]  # first and last run deferred
+        return batch.take(pa.array(inner, pa.int64())).select(all_cols)
+
+    inner = ds_sorted.map_batches(
+        interior_mins, batch_format="pyarrow", batch_size=None
+    )
+    return boundary_tbl.union(inner)
 
 
 # --------------------------------------------------------------------------
