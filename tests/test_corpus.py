@@ -375,3 +375,36 @@ class TestCorpusPrep:
         assert sorted(map(tuple, a[key].values.tolist())) == sorted(
             map(tuple, b[key].values.tolist())
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortedGroupMin:
+    def test_argmin_matches_python(self):
+        from vigil_ray.stages.corpus import sorted_group_min
+
+        rows = [
+            {"k": i % 7, "v": (i * 13) % 29, "tag": i} for i in range(100)
+        ]
+        out = sorted_group_min(_ds(rows), ["k"], ["v", "tag"]).to_pandas()
+        expect = {}
+        for r in rows:
+            cur = expect.get(r["k"])
+            if cur is None or (r["v"], r["tag"]) < cur:
+                expect[r["k"]] = (r["v"], r["tag"])
+        got = {r["k"]: (r["v"], r["tag"]) for _, r in out.iterrows()}
+        assert got == expect
+
+    def test_argmax_with_descending_and_string_tiebreak(self):
+        from vigil_ray.stages.corpus import sorted_group_min
+
+        rows = [
+            {"k": 1, "score": 2.0, "term": "b"},
+            {"k": 1, "score": 2.0, "term": "a"},  # tie: term asc wins
+            {"k": 1, "score": 1.0, "term": "z"},
+            {"k": 2, "score": 5.0, "term": "x"},
+        ]
+        out = sorted_group_min(
+            _ds(rows), ["k"], ["score", "term"], descending=[True, False]
+        ).to_pandas()
+        got = {r["k"]: (r["score"], r["term"]) for _, r in out.iterrows()}
+        assert got == {1: (2.0, "a"), 2: (5.0, "x")}

@@ -875,7 +875,7 @@ def q_doc_top_tfidf(sf_dir: str):
     from collections import Counter
 
     import numpy as np
-    from ray.data.aggregate import AggregateFn, Count
+    from ray.data.aggregate import Count
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()
@@ -934,52 +934,25 @@ def q_doc_top_tfidf(sf_dir: str):
 
     partials = joined.map_batches(partial_best, batch_format="pyarrow")
 
-    # the accumulator is a STRING ('term\x1frepr(score)') rather than a
-    # (float, str) tuple: partial accumulators land in Arrow blocks between
-    # shuffle stages, and heterogeneous tuples would force an object-dtype
-    # fallback (worker-side ArrowConversionError + slow path)
-    def _enc(neg_score: float, term: str) -> str:
-        return f"{term}\x1f{-neg_score!r}"
+    # per-doc global argmax on the sorted-adjacency primitive: one native
+    # sort of the (block, doc)-partial rows, winner = first row of each doc
+    # run (score desc, term asc tie-break) — no per-group aggregate
+    from vigil_ray.stages.corpus import sorted_group_min
 
-    def _dec(s: str) -> tuple:
-        term, sc = s.rsplit("\x1f", 1)
-        return (-float(sc), term)
-
-    def _block_best(block) -> str:
-        if isinstance(block, pa.Table):
-            scores = block.column("score").to_pylist()
-            terms = block.column("term").to_pylist()
-        else:
-            scores, terms = list(block["score"]), list(block["term"])
-        best = min(zip([-s for s in scores], terms))
-        return _enc(*best)
-
-    def _merge(a, b):
-        if a is None:
-            return b
-        if b is None:
-            return a
-        return a if _dec(a) <= _dec(b) else b
-
-    best = AggregateFn(
-        init=lambda k: None,
-        merge=_merge,
-        name="best",
-        accumulate_block=lambda acc, block: _merge(acc, _block_best(block)),
+    per_doc = sorted_group_min(
+        partials, ["doc_id"], ["score", "term"], descending=[True, False]
     )
-    per_doc = partials.groupby("doc_id").aggregate(best)
 
-    def decode(batch: pa.Table) -> pa.Table:
-        pairs = [v.rsplit("\x1f", 1) for v in batch.column("best").to_pylist()]
+    def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "top_term": pa.array([p[0] for p in pairs], pa.string()),
-                "score": pa.array([float(p[1]) for p in pairs], pa.float64()),
+                "top_term": batch.column("term"),
+                "score": batch.column("score"),
             }
         )
 
-    return per_doc.map_batches(decode, batch_format="pyarrow")
+    return per_doc.map_batches(rename, batch_format="pyarrow")
 
 
 def q_lang_top_docs_concat(sf_dir: str):

@@ -118,23 +118,35 @@ def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text", seg_words:
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
-def sorted_group_min(rows_ds, key_cols: Sequence[str], value_cols: Sequence[str]):
-    """One row per distinct key: the row with the MINIMUM (lexicographic)
-    value tuple — the groupby-argmin primitive on the sorted-adjacency shape
-    (see ``dedup.sorted_bucket_pairs``): Ray's groupby aggregate pays ~25 µs
-    of machinery per group, a native sort does not.
+def sorted_group_min(
+    rows_ds,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    descending: Optional[Sequence[bool]] = None,
+):
+    """One row per distinct key: the row FIRST in the (key_cols + value_cols)
+    sort order — the groupby-argmin/argmax primitive on the sorted-adjacency
+    shape (see ``dedup.sorted_bucket_pairs``): Ray's groupby aggregate pays
+    ~25 µs of machinery per group, a native sort does not.
 
-    Sorting by key_cols + value_cols makes each run's FIRST row its minimum,
-    so interior runs reduce to a vectorized ``take(run_starts)``; only each
-    block's first and last run (the ones that can straddle a boundary) defer
-    their candidate row to the driver, which keeps the min per key across
-    adjacent blocks — ≤2 single rows per block, never buckets."""
+    ``descending`` flags apply to the VALUE columns (keys always ascend), so
+    e.g. ``descending=[True, False]`` on values (score, term) yields the
+    per-key argmax-by-score with term tie-break.
+
+    Sorting makes each run's FIRST row its winner, so interior runs reduce
+    to a vectorized ``take(run_starts)``; only each block's first and last
+    run (the ones that can straddle a boundary) defer their candidate row to
+    the driver, which keeps the best per key across adjacent blocks — ≤2
+    single rows per block, never buckets."""
     import ray.data as rd
 
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     all_cols = key_cols + value_cols
-    ds_sorted = rows_ds.sort(all_cols).materialize()
+    desc = [False] * len(key_cols) + list(
+        descending if descending is not None else [False] * len(value_cols)
+    )
+    ds_sorted = rows_ds.sort(all_cols, descending=desc).materialize()
 
     def _np_col(batch, c):
         return batch.column(c).combine_chunks().to_numpy(zero_copy_only=False)
@@ -158,11 +170,27 @@ def sorted_group_min(rows_ds, key_cols: Sequence[str], value_cols: Sequence[str]
     deferred = ds_sorted.map_batches(
         boundary_candidates, batch_format="pyarrow", batch_size=None
     ).take_all()
+
+    value_desc = list(descending) if descending is not None else [False] * len(value_cols)
+
+    def _order_key(v: tuple) -> tuple:
+        # honor per-column descending in the driver merge; descending is
+        # numeric-only (strings can't be negated — none of the callers need it)
+        out = []
+        for x, d in zip(v, value_desc):
+            if d:
+                if not isinstance(x, (int, float)):
+                    raise TypeError("descending sorted_group_min values must be numeric")
+                out.append(-x)
+            else:
+                out.append(x)
+        return tuple(out)
+
     best: dict = {}
     for r in deferred:
         k = tuple(r[c] for c in key_cols)
         v = tuple(r[c] for c in value_cols)
-        if k not in best or v < best[k]:
+        if k not in best or _order_key(v) < _order_key(best[k]):
             best[k] = v
     # build the driver rows with the sorted ds's exact column types
     schema = ds_sorted.schema()
