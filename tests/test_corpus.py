@@ -408,3 +408,24 @@ class TestSortedGroupMin:
         ).to_pandas()
         got = {r["k"]: (r["score"], r["term"]) for _, r in out.iterrows()}
         assert got == {1: (2.0, "a"), 2: (5.0, "x")}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContamination:
+    def test_flags_shared_ngram_only(self):
+        from vigil_ray.stages.corpus import contamination_flags
+
+        bench = _ds([{"doc_id": 100, "text": "the quick brown fox jumps over it"}])
+        corpus = _ds(
+            [
+                # contains the bench 5-gram 'quick brown fox jumps over'
+                {"doc_id": 1, "text": "x quick brown fox jumps over y"},
+                # shares 4 words only → clean
+                {"doc_id": 2, "text": "quick brown fox jumps away now ok"},
+                {"doc_id": 3, "text": "completely unrelated words here today"},
+                {"doc_id": 4, "text": "tiny"},  # < 5 words → clean
+            ]
+        )
+        out = contamination_flags(corpus, bench, ngram=5).to_pandas()
+        got = dict(zip(out["doc_id"], out["contaminated"]))
+        assert got == {1: True, 2: False, 3: False, 4: False}

@@ -1716,6 +1716,32 @@ def q_events_kmv_setops(sf_dir: str):
     return kmv_two_set(ds, "user_id", "event_type", "click", "purchase", k=64)
 
 
+def q_docs_contamination(sf_dir: str):
+    """Benchmark decontamination (the eval-contamination hygiene pass):
+    flag every non-benchmark doc sharing any word 5-gram with the benchmark
+    set (docs with doc_id % 97 == 0 stand in for an eval set). The benchmark
+    side is small by nature, so its distinct gram hashes broadcast once; the
+    corpus pass is an embarrassingly parallel flag map — no corpus shuffle."""
+    import numpy as np
+
+    from vigil_ray.stages.corpus import contamination_flags
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _part(bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            is_bench = (ids % 97) == 0
+            mask = is_bench if bench else ~is_bench
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    bench = ds.map_batches(_part(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_part(False), batch_format="pyarrow")
+    return contamination_flags(corpus, bench, ngram=5)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1785,6 +1811,7 @@ def queries() -> Dict[str, Callable]:
         "events_moving_sum": q_events_moving_sum,
         "events_type_pivot": q_events_type_pivot,
         "events_kmv_setops": q_events_kmv_setops,
+        "docs_contamination": q_docs_contamination,
     }
 
 
@@ -2255,5 +2282,19 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "round(eu.e, 6) AS est_union, "
             "round(ea.e + eb.e - eu.e, 6) AS est_intersection "
             "FROM ea, eb, eu"
+        ),
+        "docs_contamination": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, array_to_string(words[idx:idx+4], ' ') AS gram FROM "
+            "  (SELECT doc_id, words, unnest(range(1, array_length(words) - 3)) AS idx "
+            "   FROM w WHERE array_length(words) >= 5)), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+            "flags AS (SELECT g.doc_id, max(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS c "
+            "  FROM g LEFT JOIN bg ON g.gram = bg.gram WHERE g.doc_id % 97 <> 0 "
+            "  GROUP BY g.doc_id) "
+            "SELECT d.doc_id, coalesce(f.c, 0) = 1 AS contaminated "
+            "FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id "
+            "WHERE d.doc_id % 97 <> 0"
         ),
     }

@@ -646,3 +646,64 @@ def per_group_sample(ds, group_col: str, id_col: str, k: int, seed: int = 7):
         )
 
     return per_group.map_batches(explode, batch_format="pyarrow")
+
+
+def contamination_flags(
+    ds,
+    bench_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+):
+    """Benchmark DECONTAMINATION: flag corpus documents sharing any word
+    ``ngram``-gram with a benchmark/eval set — the standard pre-training
+    hygiene pass (eval contamination check).
+
+    Scale shape: the benchmark side is small by nature (eval sets are KBs to
+    MBs while the corpus is TBs), so its distinct n-gram HASHES are built
+    distributed (per-batch partial sets, driver union — gram-count-sized)
+    and broadcast ONCE via ``ray.put``; the corpus pass is an
+    embarrassingly-parallel flag map. No shuffle touches corpus rows.
+    Output: (id, contaminated: bool) for every corpus row.
+    """
+    import hashlib as _hl
+
+    import ray
+
+    def _grams(text: str) -> set:
+        words = (text or "").split()
+        return {
+            " ".join(words[i : i + ngram]) for i in range(len(words) - ngram + 1)
+        }
+
+    def _hash(g: str) -> int:
+        return int.from_bytes(
+            _hl.md5(g.encode("utf-8")).digest()[:8], "big", signed=False
+        )
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        hs: set = set()
+        for t in batch.column(text_col).to_pylist():
+            hs.update(_hash(g) for g in _grams(t))
+        return pa.table(
+            {"h": pa.array(sorted(hs), pa.uint64())}
+        )
+
+    bench_hashes: set = set()
+    for row in bench_ds.map_batches(bench_partial, batch_format="pyarrow").take_all():
+        bench_hashes.add(row["h"])
+    bref = ray.put(frozenset(bench_hashes))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bh = ray.get(bref)
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            out.append(any(_hash(g) in bh for g in _grams(t)))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "contaminated": pa.array(out, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
