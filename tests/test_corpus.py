@@ -79,6 +79,23 @@ class TestPrefixScan:
         # prefix(excl): 0,10,20,...,90 → //25 = 0,0,0,1,1,2,2,2,3,3
         assert out["shard_id"].tolist() == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
 
+    def test_integer_costs_stay_exact_past_2_53(self):
+        """Integer costs keep the running sum in int64 end-to-end — a float
+        accumulator diverges from the SQL window's exact bigint sum once the
+        prefix exceeds 2^53 (the 100-TB budget regime)."""
+        from vigil_ray.stages.corpus import prefix_scan
+
+        big = (1 << 53) + 1  # not representable as float64 increments
+        rows = [{"k": i, "cost": big + i} for i in range(8)]
+        out = prefix_scan(_ds(rows), ["k"], cost_col="cost").to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert str(out["cum_excl"].dtype) == "int64"
+        run, expect = 0, []
+        for i in range(8):
+            expect.append(run)
+            run += big + i
+        assert out["cum_excl"].tolist() == expect
+
     def test_shuffle_rank_is_permutation_and_deterministic(self):
         from vigil_ray.stages.corpus import deterministic_shuffle
 
@@ -161,6 +178,31 @@ class TestGroupQuantileFilter:
             "USING (g) WHERE v >= q"
         ).df()
         assert sorted(out["id"]) == sorted(expect["id"])
+
+    def test_keep_le_bottom_slice(self):
+        import duckdb
+        import pandas as pd
+
+        from vigil_ray.stages.corpus import group_quantile_filter
+
+        rows = [
+            {"g": "a" if i % 3 else "b", "v": (i * 11) % 29, "id": i}
+            for i in range(120)
+        ]
+        out = group_quantile_filter(_ds(rows), "g", "v", 0.3, keep="le").to_pandas()
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows))
+        expect = con.execute(
+            "SELECT id FROM t JOIN (SELECT g, quantile_disc(v, 0.3) q FROM t GROUP BY g) s "
+            "USING (g) WHERE v <= q"
+        ).df()
+        assert sorted(out["id"]) == sorted(expect["id"])
+
+    def test_rejects_bad_keep(self):
+        from vigil_ray.stages.corpus import group_quantile_filter
+
+        with pytest.raises(ValueError):
+            group_quantile_filter(_ds([{"g": 1, "v": 1}]), "g", "v", 0.5, keep="gt")
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -289,8 +289,12 @@ def report_errors(
             pc.binary_join(batch.column("tipos_detectados"), ", "),
         )
 
-    joined = pred_ds.map_batches(flatten_tipos, batch_format="pyarrow").join(
-        truth_n, join_type="inner", num_partitions=8, on=(id_col,)
+    # materialized ONCE: the confusion metrics and the two error listings all
+    # consume the join — unpinned, the reads + join would execute three times
+    joined = (
+        pred_ds.map_batches(flatten_tipos, batch_format="pyarrow")
+        .join(truth_n, join_type="inner", num_partitions=8, on=(id_col,))
+        .materialize()
     )
 
     from vigil_ray.stages.aggregates import classification_metrics

@@ -57,7 +57,10 @@ def prepare_corpus(
             }
         )
 
-    hashed = ds.map_batches(kept_with_hash, batch_format="pyarrow")
+    # materialized ONCE: both the winners aggregate and the semi-join's left
+    # side consume it — unpinned, the expensive upstream (detect/scrub)
+    # lineage would execute twice
+    hashed = ds.map_batches(kept_with_hash, batch_format="pyarrow").materialize()
 
     # 2. exact dedup: first occurrence (min key) per content hash — the
     # shuffle carries (hash, key) pairs; text re-attaches by semi-join
@@ -105,7 +108,10 @@ def prepare_corpus(
         import numpy as np
 
         cum = batch.column("cum_excl").combine_chunks().to_numpy(zero_copy_only=False)
-        shard = np.floor(cum / shard_chars).astype(np.int64)
+        if np.issubdtype(cum.dtype, np.integer):
+            shard = (cum // shard_chars).astype(np.int64)  # integer-exact
+        else:
+            shard = np.floor(cum / shard_chars).astype(np.int64)
         return pa.table(
             {
                 key_col: batch.column(key_col),

@@ -148,21 +148,16 @@ def sorted_group_min(
     )
     ds_sorted = rows_ds.sort(all_cols, descending=desc).materialize()
 
-    def _np_col(batch, c):
-        return batch.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
 
     def _run_starts(batch) -> np.ndarray:
-        n = batch.num_rows
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for c in key_cols:
-            k = _np_col(batch, c)
-            change[1:] |= k[1:] != k[:-1]
-        return np.flatnonzero(change)
+        return _run_starts_impl(batch, key_cols)
 
     def boundary_candidates(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            # project the empty block too — a raw empty batch would carry a
+            # different column set than the non-empty path's select()
+            return batch.slice(0, 0).select(all_cols)
         starts = _run_starts(batch)
         picks = [int(starts[0])] if len(starts) == 1 else [int(starts[0]), int(starts[-1])]
         return batch.take(pa.array(picks, pa.int64())).select(all_cols)
@@ -258,21 +253,36 @@ def prefix_scan(
     def _np(col) -> np.ndarray:
         return col.combine_chunks().to_numpy(zero_copy_only=False)
 
+    # the SUM path stays integer-exact when costs are integers (a 100-TB
+    # token/byte budget exceeds 2^53, where incremental float addition
+    # diverges from the SQL window's one-shot sum); MAX never accumulates,
+    # so float is fine there (values themselves must fit a double exactly)
+    schema = ds.schema()
+    col_types = (
+        dict(zip(schema.names, schema.types)) if schema is not None else {}
+    )
+    int_exact = op == "sum" and (
+        cost_col is None
+        or (cost_col in col_types and pa.types.is_integer(col_types[cost_col]))
+    )
+    total_type = pa.int64() if int_exact else pa.float64()
+
     def block_total(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # a sorted materialize can leave empty blocks
             return batch.slice(0, 0).select(list(sort_cols)).append_column(
-                "total", pa.array([], pa.float64())
+                "total", pa.array([], total_type)
             )
         if cost_col:
             vals = _np(batch.column(cost_col))
-            total = float(np.max(vals)) if op == "max" else float(np.sum(vals))
+            total = np.max(vals) if op == "max" else np.sum(vals)
         else:
-            total = float(batch.num_rows)
+            total = batch.num_rows
+        total = int(total) if int_exact else float(total)
         # the block's FIRST row carries the sort-key values natively (typed
         # columns, NOT a stringified key — a string sort of numeric keys
         # would order block offsets lexicographically and corrupt the scan)
         return batch.slice(0, 1).select(list(sort_cols)).append_column(
-            "total", pa.array([total], pa.float64())
+            "total", pa.array([total], total_type)
         )
 
     totals = ds.map_batches(
@@ -281,15 +291,17 @@ def prefix_scan(
     # driver work is O(number of blocks): order block offsets by first key
     totals.sort(key=lambda r: tuple(r[c] for c in sort_cols))
     offsets = {}
-    run = 0.0 if op == "sum" else float("-inf")
+    run = (0 if int_exact else 0.0) if op == "sum" else float("-inf")
     for r in totals:
         offsets[tuple(r[c] for c in sort_cols)] = run
         run = run + r["total"] if op == "sum" else max(run, r["total"])
     off_ref = ray.put(offsets)
 
+    cum_type = pa.int64() if int_exact else pa.float64()
+
     def add_prefix(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("cum_excl", pa.array([], pa.float64()))
+            return batch.append_column("cum_excl", pa.array([], cum_type))
         offs = ray.get(off_ref)
         key = tuple(batch.column(c)[0].as_py() for c in sort_cols)
         base = offs[key]
@@ -302,11 +314,14 @@ def prefix_scan(
             if len(inc) > 1:
                 cum[1:] = np.maximum(base, inc[:-1])
         elif cost_col:
-            costs = _np(batch.column(cost_col)).astype(np.float64)
+            dtype = np.int64 if int_exact else np.float64
+            costs = _np(batch.column(cost_col)).astype(dtype)
             cum = base + np.cumsum(costs) - costs
         else:
-            cum = base + np.arange(batch.num_rows, dtype=np.float64)
-        return batch.append_column("cum_excl", pa.array(cum, pa.float64()))
+            cum = base + np.arange(
+                batch.num_rows, dtype=np.int64 if int_exact else np.float64
+            )
+        return batch.append_column("cum_excl", pa.array(cum, cum_type))
 
     return ds.map_batches(add_prefix, batch_format="pyarrow", batch_size=None)
 
@@ -322,11 +337,14 @@ def pack_shards(ds, id_col: str, cost_col: str, shard_size: int):
 
     def finish(batch: pa.Table) -> pa.Table:
         cum = batch.column("cum_excl").combine_chunks().to_numpy(zero_copy_only=False)
-        shard = np.floor(cum / shard_size).astype(np.int64)
+        if np.issubdtype(cum.dtype, np.integer):
+            shard = cum // shard_size  # exact, no float round-trip
+        else:
+            shard = np.floor(cum / shard_size).astype(np.int64)
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "shard_id": pa.array(shard, pa.int64()),
+                "shard_id": pa.array(shard.astype(np.int64), pa.int64()),
             }
         )
 
@@ -480,7 +498,10 @@ def bloom_anti_join(
 
         return f
 
-    flagged = ds.map_batches(flag, batch_format="pyarrow")
+    # materialized ONCE: the clean and candidate branches both consume it —
+    # unpinned, the bloom probe AND the whole upstream lineage would run
+    # twice, negating the operator's point
+    flagged = ds.map_batches(flag, batch_format="pyarrow").materialize()
     clean = flagged.map_batches(_take(False), batch_format="pyarrow")
     candidates = flagged.map_batches(_take(True), batch_format="pyarrow")
     verified = candidates.join(
@@ -500,7 +521,8 @@ def bloom_anti_join(
 def group_quantile_filter(
     ds, group_col: str, value_col: str, q: float, keep: str = "ge"
 ):
-    """Keep rows whose ``value_col`` is ≥ the per-group q-quantile
+    """Keep rows whose ``value_col`` is ≥ (``keep="ge"``, top slice) or ≤
+    (``keep="le"``, bottom slice) the per-group q-quantile
     (``quantile_disc`` semantics: the value at 1-based position
     ``ceil(q·n)`` of the sorted group).
 
@@ -515,6 +537,9 @@ def group_quantile_filter(
     from collections import Counter
 
     from ray.data.aggregate import Sum
+
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter(
@@ -559,7 +584,10 @@ def group_quantile_filter(
         th = ray.get(tref)
         groups = batch.column(group_col).to_pylist()
         vals = batch.column(value_col).to_pylist()
-        mask = [v >= th[g] for g, v in zip(groups, vals)]
+        if keep == "ge":
+            mask = [v >= th[g] for g, v in zip(groups, vals)]
+        else:
+            mask = [v <= th[g] for g, v in zip(groups, vals)]
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
@@ -574,6 +602,8 @@ def per_key_cap(ds, key_col: str, id_col: str, cap: int):
     from ray.data.aggregate import AggregateFn
 
     def _cap_ids(ids: list) -> list:
+        if ids and not isinstance(ids[0], int):
+            raise TypeError("per_key_cap ids must be int64 (explode emits int64)")
         return sorted(ids)[:cap]
 
     collect = AggregateFn(
@@ -615,7 +645,12 @@ def per_group_sample(ds, group_col: str, id_col: str, k: int, seed: int = 7):
     from ray.data.aggregate import AggregateFn
 
     def _key(v) -> str:
-        return f"{_hl.md5(f'{v}:{seed}'.encode()).hexdigest()}\x1f{v:012d}"
+        # ids must be integers: the zero-padded suffix is the deterministic
+        # tie-break that matches the SQL oracle's ORDER BY md5, id (20 digits
+        # covers the full int64 range)
+        if not isinstance(v, int):
+            raise TypeError(f"per_group_sample ids must be int, got {type(v).__name__}")
+        return f"{_hl.md5(f'{v}:{seed}'.encode()).hexdigest()}\x1f{v:020d}"
 
     def _cap(items: list) -> list:
         return sorted(items)[:k]

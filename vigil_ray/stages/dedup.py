@@ -181,19 +181,10 @@ def sorted_bucket_pairs(rows_ds, key_cols, member_cols, pair_fn, max_bucket, sta
 
     ds_sorted = rows_ds.sort(list(key_cols)).materialize()
 
-    def _np_col(batch, c):
-        return batch.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+    from vigil_ray.stages.runs import run_bounds as _run_bounds_impl
 
     def _run_bounds(batch) -> list:
-        n = batch.num_rows
-        ks = [_np_col(batch, c) for c in key_cols]
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for k in ks:
-            change[1:] |= k[1:] != k[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        return list(zip(starts.tolist(), ends.tolist()))
+        return _run_bounds_impl(batch, key_cols)
 
     def _members(batch, s: int, e: int) -> list:
         cols = [batch.column(c).slice(s, e - s).to_pylist() for c in member_cols]
