@@ -1,0 +1,59 @@
+"""Connected components + canonical-doc selection (stages/graph.py)."""
+
+import pytest
+import ray.data as rd
+
+
+def _pairs(items):
+    return rd.from_items([{"a": a, "b": b} for a, b in items])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def test_transitive_closure(self):
+        from vigil_ray.stages.graph import connected_components
+
+        comp = connected_components(_pairs([(1, 2), (2, 3), (10, 11), (3, 1)]))
+        got = {r["node"]: r["component"] for r in comp.take_all()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_path_graph_converges_to_one_component(self):
+        """A length-10 chain needs ~5 propagation rounds — exercises the
+        iteration loop, not just the near-clique 1-round case."""
+        from vigil_ray.stages.graph import connected_components
+
+        comp = connected_components(_pairs([(i, i + 1) for i in range(9)]))
+        rows = comp.take_all()
+        assert len(rows) == 10
+        assert {r["component"] for r in rows} == {0}
+
+    def test_empty_pairs(self):
+        from vigil_ray.stages.graph import connected_components
+
+        empty = _pairs([(1, 2)]).filter(lambda r: False)
+        comp = connected_components(empty)
+        assert comp.count() == 0
+
+    def test_max_iters_guard_is_loud(self):
+        from vigil_ray.stages.graph import connected_components
+
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(_pairs([(i, i + 1) for i in range(9)]), max_iters=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCanonicalDocs:
+    def test_keep_best_per_cluster_plus_singletons(self):
+        from vigil_ray.stages.graph import canonical_docs, connected_components
+
+        comp = connected_components(_pairs([(1, 2), (2, 3), (10, 11)]))
+        docs = rd.from_items(
+            [
+                {"doc_id": i, "score": float(s)}
+                for i, s in [(1, 5), (2, 9), (3, 9), (10, 1), (11, 2), (20, 0), (21, 7)]
+            ]
+        )
+        kept = canonical_docs(docs, comp, id_col="doc_id", score_col="score")
+        # cluster {1,2,3}: max score 9 tie → min id 2; {10,11}: keep 11;
+        # 20/21 untouched
+        assert sorted(r["doc_id"] for r in kept.take_all()) == [2, 11, 20, 21]

@@ -348,6 +348,47 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_dedup_components(sf_dir: str):
+    """Duplicate CLUSTERS from the MinHash pair set: distributed min-label
+    propagation (stages/graph.py) labels every paired doc with the minimum
+    vid reachable from it. The oracle recomputes the identical labels with a
+    recursive reachability CTE over the same by-construction pair set."""
+    from vigil_ray.stages.dedup import minhash_lsh_pairs
+    from vigil_ray.stages.graph import connected_components
+
+    pairs = minhash_lsh_pairs(_variants_ds(sf_dir), threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.rename_columns({"node": "vid"})
+
+
+def q_dedup_canonical(sf_dir: str):
+    """End-to-end cluster-level dedup: MinHash pairs → connected components
+    → keep the LONGEST member per cluster (ties → smallest vid), plus every
+    unpaired doc. This is the full keep/drop decision a training-corpus
+    dedup pass ships (pairs alone can't make it — duplication is
+    transitive)."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.stages.dedup import minhash_lsh_pairs
+    from vigil_ray.stages.graph import canonical_docs, connected_components
+
+    docs = _variants_ds(sf_dir)
+    comp = connected_components(minhash_lsh_pairs(docs, threshold=0.5))
+
+    def score(batch):
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return canonical_docs(scored, comp, id_col="vid", score_col="n_chars")
+
+
 def q_events_sessions(sf_dir: str):
     """30-min-gap sessionization per user (collect-list aggregate +
     vectorized per-user gap scan — see stages/sessions.py)."""
@@ -1346,12 +1387,13 @@ variants AS (
 """
 
 
-def _jaccard_pairs_sql(ngram: int, threshold: float) -> str:
-    """True word-n-gram Jaccard pairs over the variants corpus (independent
-    recomputation of the dedup operators' semantics in SQL)."""
+def _jaccard_pairs_ctes(ngram: int, threshold: float) -> str:
+    """CTE chain ending in ``pairs(a, b)`` — true word-n-gram Jaccard pairs
+    over the variants corpus (independent recomputation of the dedup
+    operators' semantics in SQL). Shared by the pair oracles and the
+    connected-components / canonical-dedup oracles built on the pair set."""
     concat = " || ' ' || ".join(f"w[i+{j}]" for j in range(ngram))
-    return f"""
-WITH {_VARIANTS_CTE},
+    return f"""{_VARIANTS_CTE},
 toks AS (
   SELECT vid, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM variants
 ),
@@ -1364,12 +1406,34 @@ inter AS (
   SELECT ga.vid AS a, gb.vid AS b, count(*) AS n
   FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.vid < gb.vid
   GROUP BY ga.vid, gb.vid
-)
-SELECT i.a, i.b
-FROM inter i
-JOIN sizes sa ON i.a = sa.vid
-JOIN sizes sb ON i.b = sb.vid
-WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {threshold}
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.vid
+  JOIN sizes sb ON i.b = sb.vid
+  WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {threshold}
+)"""
+
+
+def _jaccard_pairs_sql(ngram: int, threshold: float) -> str:
+    return f"""
+WITH {_jaccard_pairs_ctes(ngram, threshold)}
+SELECT a, b FROM pairs
+"""
+
+
+# min-reachable-node component labels over the pair graph; appended after
+# _jaccard_pairs_ctes under a WITH RECURSIVE header. UNION (set semantics)
+# bounds the recursion; `comp(node, component)` is the final table.
+_COMPONENTS_CTES = """
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
 """
 
 
@@ -1766,6 +1830,8 @@ def queries() -> Dict[str, Callable]:
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "events_sessions": q_events_sessions,
         "multimodal_payload_meta": q_multimodal_payload_meta,
         "multimodal_frames": q_multimodal_frames,
@@ -1894,6 +1960,24 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "dedup_minhash_pairs": _jaccard_pairs_sql(3, 0.5),
         "dedup_ngram_pairs": _jaccard_pairs_sql(2, 0.7),
+        "dedup_components": f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},
+{_COMPONENTS_CTES.strip().rstrip()}
+SELECT node AS vid, CAST(component AS BIGINT) AS component FROM comp
+""",
+        "dedup_canonical": f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},
+{_COMPONENTS_CTES.strip().rstrip()},
+winners AS (
+  SELECT c.node AS vid FROM comp c JOIN variants d ON d.vid = c.node
+  QUALIFY row_number() OVER (
+    PARTITION BY c.component ORDER BY length(d.text) DESC, c.node
+  ) = 1
+)
+SELECT vid FROM variants WHERE vid NOT IN (SELECT node FROM comp)
+UNION ALL
+SELECT vid FROM winners
+""",
         # independent recomputation of the full SimHash pipeline in SQL: the
         # kernel's per-word hash is md5[:8] (big-endian) precisely so DuckDB
         # can rebuild the 64 bit-votes and compare per-bit Hamming distance

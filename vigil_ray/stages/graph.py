@@ -1,0 +1,158 @@
+"""Distributed graph operators for dedup post-processing.
+
+The dedup operators (``stages/dedup.py``) emit near-duplicate PAIRS, but a
+keep/drop decision needs CLUSTERS: duplication is transitive (A~B, B~C puts
+{A,B,C} in one cluster even when A~C was never emitted by the LSH bands).
+``connected_components`` closes that gap with distributed min-label
+propagation, and ``canonical_docs`` picks one keeper per cluster — together
+they are the back half of a web-scale dedup pipeline
+(pairs → components → one canonical doc per component).
+
+No reference analog: iurileao-hub/vigil-pii-detector has no dedup at all;
+this follows the public MapReduce-CC literature (label propagation; cf.
+Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def connected_components(
+    pairs_ds,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 8,
+    max_iters: int = 50,
+):
+    """Label every node of the undirected pair graph with the MINIMUM node
+    id reachable from it (= its component id). Returns a Dataset with
+    columns ``(node, component)``, one row per distinct node in the pairs.
+
+    Shape: min-label propagation. Each round is one hash join (edges ⋈
+    labels, both (int, int) tables — the shuffle never carries text) plus
+    one ``sorted_group_min`` (native sort + vectorized run scan, no
+    per-group aggregate machinery). Rounds = graph diameter; LSH duplicate
+    clusters are near-cliques (the bands emit most intra-cluster pairs
+    directly), so 2–3 rounds in practice. The documented assumption: a
+    pathological chain of length k needs k rounds — ``max_iters`` guards
+    loudly rather than silently stopping early.
+
+    Convergence certificate: labels are non-increasing per node, so the
+    global label sum strictly decreases until fixpoint — one scalar
+    ``sum()`` per round replaces a change-count join. (Caveat: the sum is
+    int64; ~10⁹ nodes with ~10¹⁰ ids would need the count-changes form.)
+    """
+    import ray.data as rd
+
+    from vigil_ray.stages.corpus import sorted_group_min
+
+    # pairs feed three lineages (fwd edges, rev edges) — pin once
+    pairs = pairs_ds.materialize()
+
+    def _proj(src: str, dst: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": batch.column(src), "dst": batch.column(dst)}
+            )
+
+        return f
+
+    edges = (
+        pairs.map_batches(_proj(a_col, b_col), batch_format="pyarrow")
+        .union(pairs.map_batches(_proj(b_col, a_col), batch_format="pyarrow"))
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def _self_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("src"), "component": batch.column("src")}
+        )
+
+    labels = sorted_group_min(
+        edges.map_batches(_self_label, batch_format="pyarrow"),
+        ["node"],
+        ["component"],
+    ).materialize()
+    prev_sum = labels.sum("component")
+
+    def _msg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("dst"), "component": batch.column("component")}
+        )
+
+    for _ in range(max_iters):
+        lab_src = labels.rename_columns({"node": "src"})
+        msgs = (
+            edges.join(
+                lab_src, join_type="inner", num_partitions=num_partitions, on=("src",)
+            )
+            .map_batches(_msg, batch_format="pyarrow")
+            .union(labels)
+        )
+        labels = sorted_group_min(msgs, ["node"], ["component"]).materialize()
+        cur_sum = labels.sum("component")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "graph diameter exceeds the guard (raise max_iters)"
+    )
+
+
+def canonical_docs(
+    docs_ds,
+    components_ds,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    num_partitions: int = 8,
+):
+    """Kept-doc ids after cluster-level dedup: for every duplicate cluster
+    in ``components_ds`` (``(node, component)`` from
+    :func:`connected_components`) keep the member with the LARGEST
+    ``score_col`` (ties → smallest id); docs in no cluster are kept as-is.
+    Returns a Dataset with the single column ``id_col``.
+
+    Scale shape: the docs side streams — cluster members are extracted with
+    a hash join against the (small relative to corpus) component table, and
+    the untouched majority passes through ``bloom_anti_join`` (bitmap
+    broadcast once, no shuffle for bloom-negative rows). ``score_col`` must
+    be numeric (the per-cluster argmax runs descending on it).
+    """
+    from vigil_ray.stages.corpus import bloom_anti_join, sorted_group_min
+
+    docs = docs_ds.materialize()  # consumed by both the join and the anti-join
+
+    members = components_ds.rename_columns({"node": id_col}).join(
+        docs, join_type="inner", num_partitions=num_partitions, on=(id_col,)
+    )
+    winners = sorted_group_min(
+        members,
+        ["component"],
+        [score_col, id_col],
+        descending=[True, False],
+    )
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(id_col)})
+
+    singles = bloom_anti_join(
+        docs,
+        components_ds,
+        key_col=id_col,
+        blocklist_col="node",
+        num_partitions=num_partitions,
+    )
+    return winners.map_batches(_ids, batch_format="pyarrow").union(
+        singles.map_batches(_ids, batch_format="pyarrow")
+    )
