@@ -453,6 +453,38 @@ class TestSortedGroupMin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSortedGroupSum:
+    def test_matches_python_sums_across_blocks(self):
+        from vigil_ray.stages.corpus import sorted_group_sum
+
+        rows = [
+            {"k": i % 7, "a": (i * 13) % 29, "b": i} for i in range(100)
+        ]
+        out = sorted_group_sum(_ds(rows), ["k"], ["a", "b"]).to_pandas()
+        expect = {}
+        for r in rows:
+            acc = expect.setdefault(r["k"], [0, 0])
+            acc[0] += r["a"]
+            acc[1] += r["b"]
+        got = {r["k"]: [r["a"], r["b"]] for _, r in out.iterrows()}
+        assert got == expect
+        assert len(out) == 7
+
+    def test_single_run_spanning_all_blocks(self):
+        from vigil_ray.stages.corpus import sorted_group_sum
+
+        rows = [{"k": "only", "n": 1} for _ in range(50)]
+        out = sorted_group_sum(_ds(rows), ["k"], ["n"]).to_pandas()
+        assert out.to_dict("records") == [{"k": "only", "n": 50}]
+
+    def test_empty_input(self):
+        from vigil_ray.stages.corpus import sorted_group_sum
+
+        out = sorted_group_sum(_ds([]), ["k"], ["n"]).to_pandas()
+        assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestContamination:
     def test_flags_shared_ngram_only(self):
         from vigil_ray.stages.corpus import contamination_flags

@@ -1295,6 +1295,143 @@ def q_events_value_stats(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_corpus_top_terms(sf_dir: str):
+    """Top-20 corpus tokens by frequency (count desc, token asc) — the
+    heavy-hitters aggregate. Fully vectorized map side (Arrow lower → split
+    → flatten → value_counts per block), then ``sorted_group_sum`` merges the
+    per-block partial counts (shuffle carries the VOCABULARY, not the
+    corpus), and the global sort sees one row per distinct token."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.stages.corpus import sorted_group_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        )
+        # split_whitespace emits '' at string edges; SQL splits trimmed text
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat.combine_chunks())
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = sorted_group_sum(
+        ds.map_batches(partial_counts, batch_format="pyarrow"), ["token"], ["n"]
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+def q_docs_rollup_stats(sf_dir: str):
+    """ROLLUP(lang, source) doc counts + char totals: one map-side partial
+    per block (native Arrow group_by), ``sorted_group_sum`` merges to the
+    tiny leaf table, and the lang-level + grand-total rows derive from that
+    POST-AGGREGATION table (driver work is O(distinct lang×source), never
+    corpus-sized)."""
+    import ray.data as rd
+
+    from vigil_ray.stages.corpus import sorted_group_sum
+
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "total_chars": pa.compute.cast(g.column("n_chars_sum"), pa.int64()),
+                "n_docs": pa.compute.cast(g.column("n_chars_count"), pa.int64()),
+            }
+        )
+
+    leaf = sorted_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"],
+        ["total_chars", "n_docs"],
+    ).take_all()
+
+    langs, sources, chars, docs = [], [], [], []
+    by_lang: dict = {}
+    tot = [0, 0]
+    for r in leaf:
+        langs.append(r["lang"])
+        sources.append(r["source"])
+        chars.append(r["total_chars"])
+        docs.append(r["n_docs"])
+        acc = by_lang.setdefault(r["lang"], [0, 0])
+        acc[0] += r["total_chars"]
+        acc[1] += r["n_docs"]
+        tot[0] += r["total_chars"]
+        tot[1] += r["n_docs"]
+    for lang in sorted(by_lang):
+        langs.append(lang)
+        sources.append("(all)")
+        chars.append(by_lang[lang][0])
+        docs.append(by_lang[lang][1])
+    langs.append("(all)")
+    sources.append("(all)")
+    chars.append(tot[0])
+    docs.append(tot[1])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "total_chars": pa.array(chars, pa.int64()),
+                "n_docs": pa.array(docs, pa.int64()),
+            }
+        )
+    )
+
+
+def q_events_value_zscore(sf_dir: str):
+    """Per-event-type population z-score of ``value`` — the feature
+    normalization a training pipeline runs before export. Two passes: a
+    per-type Mean/Std(ddof=0) aggregate (a handful of rows) broadcast via
+    ``ray.put``, then one vectorized normalize pass. Both sides round to 6
+    (accumulation-order float noise)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Mean, Std
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    stats = ds.groupby("event_type").aggregate(
+        Mean("value", alias_name="mean"),
+        Std("value", ddof=0, alias_name="sd"),
+    )
+    params = {
+        r["event_type"]: (r["mean"], r["sd"]) for r in stats.take_all()
+    }
+    pref = ray.put(params)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        p = ray.get(pref)
+        types = batch.column("event_type").to_pylist()
+        means = np.array([p[t][0] for t in types])
+        sds = np.array([p[t][1] for t in types])
+        vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        z = (vals - means) / sds
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "z": pc.round(pa.array(z, pa.float64()), 6),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 1-in-10 key-hash sample as a vectorized Arrow filter
     inside ``map_batches`` (Ray's ``filter(expr=...)`` grammar has no
@@ -1878,6 +2015,9 @@ def queries() -> Dict[str, Callable]:
         "events_type_pivot": q_events_type_pivot,
         "events_kmv_setops": q_events_kmv_setops,
         "docs_contamination": q_docs_contamination,
+        "corpus_top_terms": q_corpus_top_terms,
+        "docs_rollup_stats": q_docs_rollup_stats,
+        "events_value_zscore": q_events_value_zscore,
     }
 
 
@@ -2380,5 +2520,26 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT d.doc_id, coalesce(f.c, 0) = 1 AS contaminated "
             "FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id "
             "WHERE d.doc_id % 97 <> 0"
+        ),
+        "corpus_top_terms": (
+            "WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "
+            "  FROM documents WHERE trim(text) <> '') "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 20"
+        ),
+        "docs_rollup_stats": (
+            # lang/source are non-null in the corpus, so coalesce only ever
+            # relabels the ROLLUP subtotal rows
+            "SELECT coalesce(lang, '(all)') AS lang, "
+            "coalesce(source, '(all)') AS source, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "events_value_zscore": (
+            "WITH s AS (SELECT event_type, avg(value) AS mean, "
+            "  stddev_pop(value) AS sd FROM events GROUP BY event_type) "
+            "SELECT e.event_id, round((e.value - s.mean) / s.sd, 6) AS z "
+            "FROM events e JOIN s USING (event_type)"
         ),
     }

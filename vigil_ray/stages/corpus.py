@@ -215,6 +215,110 @@ def sorted_group_min(
     return boundary_tbl.union(inner)
 
 
+def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
+    """One row per distinct key with the int64 SUM of each ``sum_cols`` —
+    the groupby-sum primitive on the sorted-adjacency shape (see
+    :func:`sorted_group_min`): a native sort + vectorized per-run
+    ``np.add.reduceat`` replaces the ~25 µs/group machinery of a hash
+    aggregate. Interior runs are complete by construction; each block defers
+    only its FIRST and LAST run's partial sums to the driver, which adds
+    partials per key (a run spanning k blocks contributes k partials) —
+    ≤2 rows per block, never row-sized.
+
+    Sums are integer-exact (int64 accumulate; callers with float costs
+    should quantize first — the int path is what a token/byte budget needs).
+    """
+    import ray.data as rd
+
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
+
+    key_cols = list(key_cols)
+    sum_cols = list(sum_cols)
+    all_cols = key_cols + sum_cols
+    ds_sorted = rows_ds.sort(key_cols).materialize()
+
+    def _run_sums(batch: pa.Table):
+        starts = _run_starts_impl(batch, key_cols)
+        sums = [
+            np.add.reduceat(
+                batch.column(c)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                starts,
+            )
+            for c in sum_cols
+        ]
+        return starts, sums
+
+    def _rows(batch: pa.Table, starts, sums, idx) -> pa.Table:
+        # keys keep the input column types (inference from .as_py() would
+        # widen e.g. int32 keys to int64 and break the union's schema)
+        cols = {
+            c: pa.array(
+                [batch.column(c)[int(starts[i])].as_py() for i in idx],
+                batch.column(c).type,
+            )
+            for c in key_cols
+        }
+        for j, c in enumerate(sum_cols):
+            cols[c] = pa.array([int(sums[j][i]) for i in idx], pa.int64())
+        return pa.table(cols)
+
+    def _empty(batch: pa.Table) -> pa.Table:
+        cols = {c: pa.array([], batch.column(c).type) for c in key_cols}
+        for c in sum_cols:
+            cols[c] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def boundary_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(batch)
+        starts, sums = _run_sums(batch)
+        idx = [0] if len(starts) == 1 else [0, len(starts) - 1]
+        return _rows(batch, starts, sums, idx)
+
+    deferred = ds_sorted.map_batches(
+        boundary_partials, batch_format="pyarrow", batch_size=None
+    ).take_all()
+
+    merged: dict = {}
+    for r in deferred:
+        k = tuple(r[c] for c in key_cols)
+        acc = merged.setdefault(k, [0] * len(sum_cols))
+        for j, c in enumerate(sum_cols):
+            acc[j] += r[c]
+
+    schema = ds_sorted.schema()
+    if schema is None or not merged:
+        return rd.from_arrow(
+            pa.table(
+                {c: pa.array([], pa.int64()) for c in all_cols}
+            )
+        )
+    types = {name: t for name, t in zip(schema.names, schema.types)}
+    keys_sorted = sorted(merged)
+    cols = {
+        c: pa.array([k[i] for k in keys_sorted], types[c])
+        for i, c in enumerate(key_cols)
+    }
+    for j, c in enumerate(sum_cols):
+        cols[c] = pa.array([merged[k][j] for k in keys_sorted], pa.int64())
+    boundary_tbl = rd.from_arrow(pa.table(cols))
+
+    def interior_sums(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(batch)
+        starts, sums = _run_sums(batch)
+        idx = list(range(1, len(starts) - 1))  # first and last run deferred
+        return _rows(batch, starts, sums, idx)
+
+    inner = ds_sorted.map_batches(
+        interior_sums, batch_format="pyarrow", batch_size=None
+    )
+    return boundary_tbl.union(inner)
+
+
 # --------------------------------------------------------------------------
 # distributed ordered prefix sum → shard packing, deterministic shuffle
 # --------------------------------------------------------------------------
