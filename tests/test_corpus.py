@@ -503,3 +503,58 @@ class TestContamination:
         out = contamination_flags(corpus, bench, ngram=5).to_pandas()
         got = dict(zip(out["doc_id"], out["contaminated"]))
         assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerGroupWeightedSample:
+    def test_matches_single_process_simulation(self):
+        import hashlib
+        import math
+        import struct
+
+        from vigil_ray.stages.corpus import per_group_weighted_sample
+
+        rows = [
+            {"g": f"g{i % 3}", "doc_id": i, "w": 1 + (i * 7) % 50}
+            for i in range(90)
+        ]
+        out = per_group_weighted_sample(
+            _ds(rows), "g", "doc_id", "w", k=4, seed=7
+        ).to_pandas()
+
+        def clock(vid, w):
+            h = int(hashlib.md5(f"{vid}:7".encode()).hexdigest()[:16], 16)
+            u = (h + 1) / 2**64
+            c = -math.log(u) / w
+            return (struct.unpack("<q", struct.pack("<d", c))[0], vid)
+
+        expect = {}
+        for r in rows:
+            expect.setdefault(r["g"], []).append(clock(r["doc_id"], r["w"]))
+        want = {
+            (g, vid)
+            for g, keys in expect.items()
+            for _, vid in sorted(keys)[:4]
+        }
+        got = {(r["g"], r["doc_id"]) for _, r in out.iterrows()}
+        assert got == want
+
+    def test_heavy_weight_dominates(self):
+        from vigil_ray.stages.corpus import per_group_weighted_sample
+
+        # one row carries ~all the mass: with k=1 it must win
+        rows = [{"g": "g", "doc_id": i, "w": 1} for i in range(50)]
+        rows.append({"g": "g", "doc_id": 999, "w": 10**9})
+        out = per_group_weighted_sample(
+            _ds(rows), "g", "doc_id", "w", k=1
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [999]
+
+    def test_rejects_nonpositive_weight(self):
+        import ray
+
+        from vigil_ray.stages.corpus import per_group_weighted_sample
+
+        rows = [{"g": "g", "doc_id": 1, "w": 0}]
+        with pytest.raises(Exception):
+            per_group_weighted_sample(_ds(rows), "g", "doc_id", "w", k=1).to_pandas()

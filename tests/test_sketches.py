@@ -63,3 +63,24 @@ class TestKmvSetOps:
         assert out["est_b"].iloc[0] == 30.0
         assert out["est_union"].iloc[0] == 50.0
         assert out["est_intersection"].iloc[0] == 10.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_grouped_matches_per_group_simulation():
+    import ray.data as rd
+
+    from vigil_ray.stages.sketches import kmv_estimate, kmv_grouped, kmv_hash
+
+    rows = [
+        {"g": "small", "uid": i % 10} for i in range(200)
+    ] + [
+        {"g": "big", "uid": i % 300} for i in range(600)
+    ]
+    out = (
+        kmv_grouped(rd.from_items(rows).repartition(4), "uid", "g", k=64)
+        .to_pandas()
+        .set_index("g")["n_distinct_est"]
+    )
+    assert out["small"] == 10.0  # below k: exact
+    hs = np.sort(np.array(sorted({kmv_hash(i % 300) for i in range(600)})[:64]))
+    assert out["big"] == round(kmv_estimate(hs, 64), 6)

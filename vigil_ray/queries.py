@@ -1432,6 +1432,140 @@ def q_events_value_zscore(sf_dir: str):
     return ds.map_batches(normalize, batch_format="pyarrow")
 
 
+def q_docs_snapshot_merge(sf_dir: str):
+    """Incremental-crawl snapshot merge, latest version wins — the CDX-style
+    recrawl dedup: union the base snapshot (v1) with a synthetic v2 recrawl
+    of every 7th doc, keep ONE row per doc_id by max version. Ray shape:
+    vectorized version explode → ``sorted_group_min`` argmax on version
+    (the keeper's payload rides the one global sort; the driver sees ≤2
+    boundary rows per block, never the corpus)."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.kernel.textstats import md5_hex
+    from vigil_ray.stages.corpus import sorted_group_min
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode_versions(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        text = batch.column("text")
+        # integer pc.divide truncates, so ids - (ids // 7) * 7 is doc_id % 7
+        mask = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0)
+        rev_text = pc.binary_join_element_wise(
+            text.filter(mask), pa.scalar(" [rev2]"), pa.scalar("")
+        )
+        v1 = pa.table(
+            {
+                "doc_id": ids,
+                "version": pa.array([1] * batch.num_rows, pa.int64()),
+                "text": text,
+            }
+        )
+        v2 = pa.table(
+            {
+                "doc_id": ids.filter(mask),
+                "version": pa.array([2] * len(rev_text), pa.int64()),
+                "text": rev_text,
+            }
+        )
+        return pa.concat_tables([v1, v2])
+
+    snap = ds.map_batches(explode_versions, batch_format="pyarrow")
+    kept = sorted_group_min(
+        snap, ["doc_id"], ["version", "text"], descending=[True, False]
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "version": batch.column("version"),
+                "fp": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return kept.map_batches(fp, batch_format="pyarrow")
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Length-weighted 5-per-language sample (Efraimidis–Spirakis exponential
+    clocks, seeded md5 uniforms) — the data-mixing draw where longer docs are
+    proportionally likelier. See
+    :func:`vigil_ray.stages.corpus.per_group_weighted_sample`."""
+    from vigil_ray.stages.corpus import per_group_weighted_sample
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).filter(
+        expr="n_chars > 0"
+    )
+    return per_group_weighted_sample(ds, "lang", "doc_id", "n_chars", k=5, seed=7)
+
+
+def q_docs_length_decile(sf_dir: str):
+    """Assign every doc its global length decile (curriculum bucketing).
+    Two passes, neither corpus-sized: (1) a value-histogram of ``n_chars``
+    (map-side ``value_counts`` partials merged by ``sorted_group_sum`` —
+    the shuffle carries one row per DISTINCT length), from which the driver
+    derives the nine ``quantile_disc`` boundaries (1-based position
+    ``ceil(q*n)``); (2) the 9 boundary ints ride the task closure and a
+    vectorized ``searchsorted`` labels each row."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from vigil_ray.stages.corpus import sorted_group_sum
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n_chars").combine_chunks())
+        return pa.table(
+            {
+                "n_chars": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = sorted_group_sum(
+        ds.map_batches(partial_hist, batch_format="pyarrow"), ["n_chars"], ["n"]
+    ).take_all()
+    hist.sort(key=lambda r: r["n_chars"])
+    values = np.array([r["n_chars"] for r in hist])
+    cum = np.cumsum([r["n"] for r in hist])
+    n_total = int(cum[-1])
+    boundaries = np.array(
+        [
+            values[int(np.searchsorted(cum, math.ceil(q / 10 * n_total)))]
+            for q in range(1, 10)
+        ]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lens = batch.column("n_chars").combine_chunks().to_numpy(zero_copy_only=False)
+        decile = np.searchsorted(boundaries, lens, side="left")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "decile": pa.array(decile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_events_type_kmv(sf_dir: str):
+    """Per-event-type approximate distinct users (KMV, k=64) — grouped
+    cardinality without a distinct shuffle; md5 hashing makes the estimate
+    SQL-recomputable exactly. See
+    :func:`vigil_ray.stages.sketches.kmv_grouped`."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sketches import kmv_grouped
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return kmv_grouped(ds, "user_id", "event_type", k=64)
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 1-in-10 key-hash sample as a vectorized Arrow filter
     inside ``map_batches`` (Ray's ``filter(expr=...)`` grammar has no
@@ -2018,6 +2152,10 @@ def queries() -> Dict[str, Callable]:
         "corpus_top_terms": q_corpus_top_terms,
         "docs_rollup_stats": q_docs_rollup_stats,
         "events_value_zscore": q_events_value_zscore,
+        "docs_snapshot_merge": q_docs_snapshot_merge,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_length_decile": q_docs_length_decile,
+        "events_type_kmv": q_events_type_kmv,
     }
 
 
@@ -2541,5 +2679,53 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  stddev_pop(value) AS sd FROM events GROUP BY event_type) "
             "SELECT e.event_id, round((e.value - s.mean) / s.sd, 6) AS z "
             "FROM events e JOIN s USING (event_type)"
+        ),
+        "docs_snapshot_merge": (
+            "WITH snap AS ( "
+            "  SELECT doc_id, 1 AS version, text FROM documents "
+            "  UNION ALL "
+            "  SELECT doc_id, 2 AS version, text || ' [rev2]' AS text "
+            "  FROM documents WHERE doc_id % 7 = 0), "
+            "kept AS (SELECT doc_id, version, text FROM snap "
+            "  QUALIFY row_number() OVER "
+            "  (PARTITION BY doc_id ORDER BY version DESC) = 1) "
+            "SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS fp "
+            "FROM kept"
+        ),
+        "docs_weighted_sample": (
+            # Efraimidis–Spirakis clock: -ln(u)/w with the engine's exact
+            # md5-uniform; ORDER BY clock, doc_id mirrors the (bits, id)
+            # tuple ordering
+            "WITH w AS (SELECT lang, doc_id, "
+            "  -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 16) "
+            "  AS UBIGINT) + 1) / 18446744073709551616.0) / n_chars AS clock "
+            "  FROM documents WHERE n_chars > 0) "
+            "SELECT lang, doc_id FROM w "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY lang ORDER BY clock, doc_id) <= 5"
+        ),
+        "docs_length_decile": (
+            # quantile_disc = value at 1-based position ceil(q*n); decile =
+            # count of boundaries strictly below the row's length (matches
+            # the engine's searchsorted side='left')
+            "WITH bd AS (SELECT quantile_disc(n_chars, "
+            "  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM documents) "
+            "SELECT d.doc_id, "
+            "CAST(len(list_filter(bd.bs, b -> d.n_chars > b)) AS BIGINT) AS decile "
+            "FROM documents d, bd"
+        ),
+        "events_type_kmv": (
+            "WITH hv AS (SELECT event_type, "
+            "  (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) + 1) "
+            "  / 18446744073709551616.0 AS h FROM events), "
+            "d AS (SELECT DISTINCT event_type, h FROM hv), "
+            "r AS (SELECT event_type, h, "
+            "  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d), "
+            "stats AS (SELECT event_type, count(*) AS nd FROM d GROUP BY event_type), "
+            "kth AS (SELECT event_type, h FROM r WHERE rn = 64) "
+            "SELECT s.event_type, "
+            "round(CASE WHEN s.nd < 64 THEN CAST(s.nd AS DOUBLE) "
+            "ELSE 63.0 / kth.h END, 6) AS n_distinct_est "
+            "FROM stats s LEFT JOIN kth USING (event_type)"
         ),
     }

@@ -738,6 +738,78 @@ def per_key_cap(ds, key_col: str, id_col: str, cap: int):
     return per_key.map_batches(explode, batch_format="pyarrow")
 
 
+def per_group_weighted_sample(
+    ds, group_col: str, id_col: str, weight_col: str, k: int, seed: int = 7
+):
+    """Deterministic weighted sample without replacement (Efraimidis–Spirakis
+    exponential clocks): per group, the ``k`` rows with the smallest
+    ``-ln(u)/w`` win, where ``u`` is the seeded md5-uniform of the id and
+    ``w`` the row weight — each row is selected with probability ∝ weight.
+    This is the data-mixing primitive (sample docs ∝ length / source weight)
+    a training pipeline runs before packing.
+
+    Scale shape: same collect-truncate accumulator as
+    :func:`per_group_sample` — the shuffle carries ≤k (key, id) int pairs per
+    (block, group). Keys are encoded as the IEEE-754 bit pattern of the
+    positive double (order-preserving as int64, Arrow-encodable, and
+    bit-reproducible by the SQL oracle up to libm ulp noise that only
+    matters on exact key ties, which the md5 uniform makes negligible).
+
+    Weights must be > 0 (raises on violation — a silent skip would bias the
+    sample)."""
+    import hashlib as _hl
+    import math as _math
+    import struct as _struct
+
+    from ray.data.aggregate import AggregateFn
+
+    def _key(vid, w) -> tuple:
+        if not isinstance(vid, int):
+            raise TypeError(
+                f"per_group_weighted_sample ids must be int, got {type(vid).__name__}"
+            )
+        if not w or w <= 0:
+            raise ValueError(f"weight must be > 0, got {w!r} for id {vid}")
+        h = int(_hl.md5(f"{vid}:{seed}".encode()).hexdigest()[:16], 16)
+        u = (h + 1) / 18446744073709551616.0
+        clock = -_math.log(u) / w
+        bits = _struct.unpack("<q", _struct.pack("<d", clock))[0]
+        return (bits, vid)
+
+    def _cap(items: list) -> list:
+        return sorted(items)[:k]
+
+    def _acc_block(acc, block):
+        ids = block.column(id_col).to_pylist()
+        ws = block.column(weight_col).to_pylist()
+        return _cap(acc + [_key(v, w) for v, w in zip(ids, ws)])
+
+    collect = AggregateFn(
+        init=lambda g: [],
+        merge=lambda a, b: _cap(a + b),
+        name="sampled",
+        accumulate_block=_acc_block,
+    )
+    per_group = ds.groupby(group_col).aggregate(collect)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        groups, ids = [], []
+        for g, kept in zip(
+            batch.column(group_col).to_pylist(), batch.column("sampled").to_pylist()
+        ):
+            for _, vid in kept:
+                groups.append(g)
+                ids.append(int(vid))
+        return pa.table(
+            {
+                group_col: pa.array(groups, batch.column(group_col).type),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    return per_group.map_batches(explode, batch_format="pyarrow")
+
+
 def per_group_sample(ds, group_col: str, id_col: str, k: int, seed: int = 7):
     """Deterministic reservoir-style sample: the ``k`` rows with the smallest
     ``md5(id:seed)`` per group — the distributed equivalent of a seeded

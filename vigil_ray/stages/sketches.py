@@ -130,3 +130,70 @@ def kmv_two_set(ds, col: str, type_col: str, type_a: str, type_b: str, k: int = 
             ),
         }
     )
+
+
+def kmv_grouped(ds, col: str, group_col: str, k: int = 64):
+    """Per-GROUP approximate distinct count — ``COUNT(DISTINCT col) GROUP BY
+    group_col`` as mergeable KMV sketches (the per-host / per-type
+    cardinality profile a crawl audit runs).
+
+    Shape: a map-side pass builds one k-truncated sketch per (block, group)
+    — the shuffle moves ≤k doubles per group per block, never the key
+    column — then a grouped ``AggregateFn`` merges sketches and a final
+    vectorized pass turns each into the ``(k-1)/h_(k)`` estimate (exact
+    below k distinct). md5 hashing keeps every number SQL-recomputable.
+
+    → Dataset ``(group_col, n_distinct_est: double)``.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def partial_batches(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        vals = batch.column(col).to_pylist()
+        acc: dict = {}
+        for g, v in zip(groups, vals):
+            acc.setdefault(g, set()).add(kmv_hash(v))
+        gs = sorted(acc)
+        return pa.table(
+            {
+                group_col: pa.array(gs, batch.column(group_col).type),
+                "sketch": pa.array(
+                    [sorted(acc[g])[:k] for g in gs], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial_batches, batch_format="pyarrow")
+
+    def _acc_block(acc: list, block) -> list:
+        s = set(acc)
+        lists = (
+            block.column("sketch").to_pylist()
+            if isinstance(block, pa.Table)
+            else list(block["sketch"])
+        )
+        for lst in lists:
+            s |= set(lst)
+        return sorted(s)[:k]
+
+    merge_sketches = AggregateFn(
+        init=lambda g: [],
+        merge=lambda a, b: sorted(set(a) | set(b))[:k],
+        name="kmv",
+        accumulate_block=_acc_block,
+    )
+    agg = partials.groupby(group_col).aggregate(merge_sketches)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ests = [
+            round(kmv_estimate(np.asarray(s, dtype=np.float64), k), 6)
+            for s in batch.column("kmv").to_pylist()
+        ]
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_distinct_est": pa.array(ests, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
