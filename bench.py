@@ -164,6 +164,8 @@ def run_bench() -> dict:
         "doc_segment_dedup",
         "docs_shuffle_rank",
         "events_nonblocked_counts",
+        "corpus_top_terms",
+        "docs_snapshot_merge",
     ]
     registry = query_registry()
     for name in secondary:

@@ -1566,6 +1566,30 @@ def q_events_type_kmv(sf_dir: str):
     return kmv_grouped(ds, "user_id", "event_type", k=64)
 
 
+def q_docs_chunks(sf_dir: str):
+    """Context-window chunking (50-word windows, stride 40) with an md5
+    fingerprint per chunk — see
+    :func:`vigil_ray.stages.corpus.chunk_documents`."""
+    from vigil_ray.kernel.textstats import md5_hex
+    from vigil_ray.stages.corpus import chunk_documents
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    chunks = chunk_documents(ds, chunk_words=50, stride=40)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t) for t in batch.column("chunk_text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "chunk_id": batch.column("chunk_id"),
+                "n_words": batch.column("n_words"),
+                "fp": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return chunks.map_batches(fp, batch_format="pyarrow")
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 1-in-10 key-hash sample as a vectorized Arrow filter
     inside ``map_batches`` (Ray's ``filter(expr=...)`` grammar has no
@@ -2156,6 +2180,7 @@ def queries() -> Dict[str, Callable]:
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_length_decile": q_docs_length_decile,
         "events_type_kmv": q_events_type_kmv,
+        "docs_chunks": q_docs_chunks,
     }
 
 
@@ -2727,5 +2752,16 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "round(CASE WHEN s.nd < 64 THEN CAST(s.nd AS DOUBLE) "
             "ELSE 63.0 / kth.h END, 6) AS n_distinct_est "
             "FROM stats s LEFT JOIN kth USING (event_type)"
+        ),
+        "docs_chunks": (
+            # duckdb array slices are 1-based inclusive: words[s+1:s+50] is
+            # the 0-based window [s, s+50)
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT doc_id, words, "
+            "  unnest(range(0, array_length(words), 40)) AS s FROM w) "
+            "SELECT doc_id, CAST(s / 40 AS BIGINT) AS chunk_id, "
+            "CAST(least(array_length(words) - s, 50) AS BIGINT) AS n_words, "
+            "md5(array_to_string(words[s+1:s+50], ' ')) AS fp FROM c"
         ),
     }

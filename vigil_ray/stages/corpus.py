@@ -46,6 +46,49 @@ import pyarrow as pa
 # C4-style segment dedup
 # --------------------------------------------------------------------------
 
+def chunk_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 50,
+    stride: int = 40,
+):
+    """Context-window chunking: split each document into word windows of
+    ``chunk_words`` every ``stride`` words (overlap = chunk_words − stride)
+    — the 1→n explode that prepares long documents for a fixed-context
+    model. Chunk starts are ``0, stride, 2·stride, …`` while start <
+    n_words; the final window may be short. Pure per-row map (no shuffle,
+    no state): output ``(id, chunk_id, n_words, chunk_text)`` streams at
+    input parallelism, ~chunk_words/stride× the input rows.
+
+    Whitespace-only documents produce no chunks (mirrors the SQL side's
+    ``trim(text) <> ''`` guard)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, chunk_ids, n_words_out, texts_out = [], [], [], []
+        for vid, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            words = text.split()
+            n = len(words)
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = words[s : s + chunk_words]
+                ids_out.append(vid)
+                chunk_ids.append(ci)
+                n_words_out.append(len(piece))
+                texts_out.append(" ".join(piece))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, batch.column(id_col).type),
+                "chunk_id": pa.array(chunk_ids, pa.int64()),
+                "n_words": pa.array(n_words_out, pa.int64()),
+                "chunk_text": pa.array(texts_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text", seg_words: int = 10):
     """Cross-corpus segment-level dedup (the C4 recipe, segment = ``seg_words``
     whitespace words): every distinct segment string survives exactly once —
