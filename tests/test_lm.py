@@ -1,0 +1,122 @@
+"""Corpus-trained bigram LM stages (stages/lm.py) and the per-group rank
+primitive (stages/corpus.per_group_rank): semantics pinned on small
+constructed inputs. SQL-oracle equivalence for the wired queries
+(docs_corpus_lm_ppl / corpus_pmi_bigrams / docs_mixing_order) is covered by
+tests/test_queries_oracle.py."""
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows, parts=3):
+    import ray.data as rd
+
+    return rd.from_items(rows).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusBigramPpl:
+    def test_matches_hand_computation(self):
+        from vigil_ray.stages.lm import corpus_bigram_ppl
+
+        rows = [
+            {"doc_id": 1, "text": "a b a b"},
+            {"doc_id": 2, "text": "a b c"},
+        ]
+        out = {r["doc_id"]: r for r in corpus_bigram_ppl(_ds(rows)).take_all()}
+        # corpus tokens: a×3 b×3 c×1  (V=3); bigrams: ab×3, ba×1, bc×1
+        n1 = {"a": 3, "b": 3, "c": 1}
+        n12 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+        V = 3
+
+        def nll_micro(w1, w2):
+            return math.floor(
+                (math.log(n1[w1] + V) - math.log(n12[(w1, w2)] + 1)) * 1e6 + 0.5
+            )
+
+        d1 = [("a", "b"), ("b", "a"), ("a", "b")]
+        d2 = [("a", "b"), ("b", "c")]
+        for doc_id, bigrams in ((1, d1), (2, d2)):
+            tot = sum(nll_micro(*bg) for bg in bigrams)
+            want = math.floor(
+                math.exp(tot / 1e6 / len(bigrams)) * 1e6 + 0.5
+            ) / 1e6
+            assert out[doc_id]["n_bigrams"] == len(bigrams)
+            assert out[doc_id]["ppl"] == want
+
+    def test_short_and_empty_docs_excluded(self):
+        from vigil_ray.stages.lm import corpus_bigram_ppl
+
+        rows = [
+            {"doc_id": 1, "text": "solo"},
+            {"doc_id": 2, "text": "   "},
+            {"doc_id": 3, "text": "x y"},
+        ]
+        out = corpus_bigram_ppl(_ds(rows)).take_all()
+        assert [r["doc_id"] for r in out] == [3]
+
+    def test_repeated_doc_lowers_its_perplexity(self):
+        from vigil_ray.stages.lm import corpus_bigram_ppl
+
+        # 'p q' appears in 4 docs, 'r s' once → the common doc is more
+        # predictable under the corpus model
+        rows = [{"doc_id": i, "text": "p q"} for i in range(4)]
+        rows.append({"doc_id": 99, "text": "r s"})
+        out = {r["doc_id"]: r["ppl"] for r in corpus_bigram_ppl(_ds(rows)).take_all()}
+        assert out[0] < out[99]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBigramPmiTopk:
+    def test_exclusive_pair_beats_promiscuous(self):
+        from vigil_ray.stages.lm import bigram_pmi_topk
+
+        # (x y) always together; 'a' pairs with many different words
+        rows = [{"doc_id": i, "text": "x y a " + w} for i, w in enumerate(
+            ["m", "n", "o", "p", "q"]
+        )]
+        out = bigram_pmi_topk(_ds(rows), min_count=5, k=5).take_all()
+        assert out, "x-y occurs 5 times and must pass min_count"
+        assert (out[0]["w1"], out[0]["w2"]) == ("x", "y")
+        assert out[0]["n12"] == 5
+
+    def test_min_count_filters(self):
+        from vigil_ray.stages.lm import bigram_pmi_topk
+
+        rows = [{"doc_id": 1, "text": "u v"}, {"doc_id": 2, "text": "u v"}]
+        assert bigram_pmi_topk(_ds(rows), min_count=5, k=5).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerGroupRank:
+    def test_permutation_per_group_and_md5_order(self):
+        from vigil_ray.stages.corpus import per_group_rank
+
+        rows = [{"id": i, "g": "ab"[i % 2]} for i in range(20)]
+        out = per_group_rank(_ds(rows), "g", "id", seed=7).take_all()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r["g"], []).append(r)
+        assert set(by_group) == {"a", "b"}
+        for g, members in by_group.items():
+            assert sorted(m["rank"] for m in members) == list(range(1, 11))
+            # rank order == md5(id:seed) order within the group
+            members.sort(key=lambda m: m["rank"])
+            keys = [hashlib.md5(f"{m['id']}:7".encode()).hexdigest() for m in members]
+            assert keys == sorted(keys)
+
+    def test_parallelism_independent(self):
+        from vigil_ray.stages.corpus import per_group_rank
+
+        rows = [{"id": i, "g": f"g{i % 3}"} for i in range(30)]
+        a = sorted(
+            (r["id"], r["rank"]) for r in per_group_rank(_ds(rows, 2), "g", "id").take_all()
+        )
+        b = sorted(
+            (r["id"], r["rank"]) for r in per_group_rank(_ds(rows, 7), "g", "id").take_all()
+        )
+        assert a == b

@@ -1590,6 +1590,65 @@ def q_docs_chunks(sf_dir: str):
     return chunks.map_batches(fp, batch_format="pyarrow")
 
 
+def q_docs_corpus_lm_ppl(sf_dir: str):
+    """Per-doc perplexity under a bigram LM TRAINED on the corpus itself
+    (the KenLM-style train-then-score loop, fully distributed) — see
+    :func:`vigil_ray.stages.lm.corpus_bigram_ppl` for the join-based shape
+    that keeps the model tables distributed."""
+    from vigil_ray.stages.lm import corpus_bigram_ppl
+
+    return corpus_bigram_ppl(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_corpus_pmi_bigrams(sf_dir: str):
+    """Top-20 collocations by pointwise mutual information (n12 ≥ 5) —
+    integer micro-nat PMI so the oracle compares exactly; see
+    :func:`vigil_ray.stages.lm.bigram_pmi_topk`."""
+    from vigil_ray.stages.lm import bigram_pmi_topk
+
+    return bigram_pmi_topk(_docs(sf_dir, ["doc_id", "text"]), min_count=5, k=20)
+
+
+# data-mixing weights: en is upsampled 4×, zh 2× relative to the tail
+# languages. stride = lcm(weights)/w — priority = rank·stride interleaves
+# sources deterministically (integer-exact, no float ordering).
+_MIX_STRIDE_CASE = "CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 4 END"
+_MIX_STRIDES = {"en": 1, "zh": 2}
+
+
+def q_docs_mixing_order(sf_dir: str):
+    """Deterministic weighted interleave of sources into one training
+    order (the data-mixing schedule): within-lang seeded shuffle rank
+    (:func:`vigil_ray.stages.corpus.per_group_rank`), priority =
+    rank × stride(lang) with integer strides, first 200 docs of the
+    schedule. Cluster-size-independent: both the per-group rank and the
+    priority are pure functions of (doc_id, lang)."""
+    from vigil_ray.stages.corpus import per_group_rank
+
+    ranked = per_group_rank(_docs(sf_dir, ["doc_id", "lang"]), "lang", "doc_id", seed=7)
+
+    def priority(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        langs = batch.column("lang").to_pylist()
+        rnk = batch.column("rank").combine_chunks().to_numpy(zero_copy_only=False)
+        strides = np.array([_MIX_STRIDES.get(l, 4) for l in langs], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "rnk": pa.array(rnk, pa.int64()),
+                "priority": pa.array(rnk * strides, pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(priority, batch_format="pyarrow")
+        .sort(["priority", "lang", "rnk"])
+        .limit(200)
+    )
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 1-in-10 key-hash sample as a vectorized Arrow filter
     inside ``map_batches`` (Ray's ``filter(expr=...)`` grammar has no
@@ -2181,6 +2240,9 @@ def queries() -> Dict[str, Callable]:
         "docs_length_decile": q_docs_length_decile,
         "events_type_kmv": q_events_type_kmv,
         "docs_chunks": q_docs_chunks,
+        "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
+        "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
+        "docs_mixing_order": q_docs_mixing_order,
     }
 
 
@@ -2763,5 +2825,54 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT doc_id, CAST(s / 40 AS BIGINT) AS chunk_id, "
             "CAST(least(array_length(words) - s, 50) AS BIGINT) AS n_words, "
             "md5(array_to_string(words[s+1:s+50], ' ')) AS fp FROM c"
+        ),
+        "docs_corpus_lm_ppl": (
+            # engine quantizes each bigram's negative log-prob to integer
+            # micro-nats (floor(x*1e6+0.5)) before summing, so the per-doc
+            # sums are order-independent and the oracle reproduces them
+            # exactly; the final exp/round uses the same floor-half-up form
+            # (DuckDB round() is half-away, numpy half-even — CLAUDE.md)
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "big AS (SELECT doc_id, "
+            "  unnest(words[1:array_length(words)-1]) AS w1, "
+            "  unnest(words[2:array_length(words)]) AS w2 "
+            "  FROM w WHERE array_length(words) >= 2), "
+            "tok AS (SELECT unnest(words) AS w1 FROM w), "
+            "uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM tok GROUP BY 1), "
+            "v AS (SELECT count(*) AS v FROM uni), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM big GROUP BY 1, 2), "
+            "costed AS (SELECT big.doc_id, "
+            "  CAST(floor((ln(uni.n1 + v.v) - ln(bc.n12 + 1)) * 1000000 + 0.5) AS BIGINT) AS nll "
+            "  FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "floor(exp(sum(nll) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS ppl "
+            "FROM costed GROUP BY doc_id"
+        ),
+        "corpus_pmi_bigrams": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "big AS (SELECT unnest(words[1:array_length(words)-1]) AS w1, "
+            "  unnest(words[2:array_length(words)]) AS w2 "
+            "  FROM w WHERE array_length(words) >= 2), "
+            "tok AS (SELECT unnest(words) AS w1 FROM w), "
+            "uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM tok GROUP BY 1), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM big GROUP BY 1, 2), "
+            "tots AS (SELECT (SELECT CAST(sum(n12) AS BIGINT) FROM bc) AS tb, "
+            "         (SELECT CAST(sum(n1) AS BIGINT) FROM uni) AS tu) "
+            "SELECT w1, w2, n12, "
+            "CAST(floor(ln((n12 * 1.0 / tb) / ((n1 * 1.0 / tu) * (n2 * 1.0 / tu))) * 1000000 + 0.5) AS BIGINT) AS pmi_micro "
+            "FROM (SELECT bc.w1, bc.w2, bc.n12, u1.n1, u2.n1 AS n2 "
+            "      FROM bc JOIN uni u1 ON bc.w1 = u1.w1 JOIN uni u2 ON bc.w2 = u2.w1 "
+            "      WHERE bc.n12 >= 5) CROSS JOIN tots "
+            "ORDER BY pmi_micro DESC, w1, w2 LIMIT 20"
+        ),
+        "docs_mixing_order": (
+            "WITH ranked AS (SELECT doc_id, lang, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7')) AS BIGINT) AS rnk "
+            "  FROM documents) "
+            f"SELECT doc_id, lang, rnk, rnk * {_MIX_STRIDE_CASE} AS priority "
+            "FROM ranked ORDER BY priority, lang, rnk LIMIT 200"
         ),
     }

@@ -41,6 +41,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import pyarrow as pa
 
+from vigil_ray.stages.blocks import compact_blocks
+
 
 # --------------------------------------------------------------------------
 # C4-style segment dedup
@@ -189,7 +191,10 @@ def sorted_group_min(
     desc = [False] * len(key_cols) + list(
         descending if descending is not None else [False] * len(value_cols)
     )
-    ds_sorted = rows_ds.sort(all_cols, descending=desc).materialize()
+    # compact: a sort leaves empty blocks that map_batches passes through as
+    # zero-column join poison downstream (blocks.py); dropping them here is
+    # free (the sort already materialized)
+    ds_sorted = compact_blocks(rows_ds.sort(all_cols, descending=desc))
 
     from vigil_ray.stages.runs import run_starts as _run_starts_impl
 
@@ -278,7 +283,7 @@ def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
     key_cols = list(key_cols)
     sum_cols = list(sum_cols)
     all_cols = key_cols + sum_cols
-    ds_sorted = rows_ds.sort(key_cols).materialize()
+    ds_sorted = compact_blocks(rows_ds.sort(key_cols))  # see sorted_group_min
 
     def _run_sums(batch: pa.Table):
         starts = _run_starts_impl(batch, key_cols)
@@ -395,7 +400,10 @@ def prefix_scan(
     if op == "max" and not cost_col:
         raise ValueError("prefix max needs a cost column")
 
-    ds = ds.sort(list(sort_cols)).materialize()
+    # compact: drop the sort's empty blocks so neither pass sees
+    # zero-column passthrough blocks (blocks.py) — layout stays pinned for
+    # both passes (compaction happens once, before either map)
+    ds = compact_blocks(ds.sort(list(sort_cols)))
 
     def _np(col) -> np.ndarray:
         return col.combine_chunks().to_numpy(zero_copy_only=False)
@@ -527,6 +535,74 @@ def deterministic_shuffle(ds, id_col: str, seed: int = 42):
             {
                 id_col: batch.column(id_col),
                 "shuffle_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def per_group_rank(ds, group_col: str, id_col: str, seed: int = 7):
+    """Seeded, reproducible WITHIN-GROUP shuffle rank (1-based): rank =
+    row_number over md5(id:seed) partitioned by ``group_col`` — the
+    per-source ordering a deterministic data-mixing schedule consumes.
+
+    Built on the existing global machinery instead of a per-group scan:
+    sort by (group, key) so groups are contiguous, take the GLOBAL prefix
+    rank, and subtract each group's exclusive start offset (a
+    groups-sized count table, driver-side — never row-sized). Output:
+    (id, group, rank)."""
+
+    def key_of(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(f"{v}:{seed}".encode()).hexdigest()
+            for v in batch.column(id_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "mix_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    keyed = ds.map_batches(key_of, batch_format="pyarrow")
+    scanned = prefix_scan(keyed, [group_col, "mix_key"]).materialize()
+
+    # exclusive start offset per group, in the same (lexicographic) group
+    # order the sort used — groups-sized, not row-sized
+    counts = sorted_group_sum(
+        scanned.map_batches(
+            lambda b: pa.table(
+                {group_col: b.column(group_col), "one": pa.array([1] * b.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        [group_col],
+        ["one"],
+    ).take_all()
+    counts.sort(key=lambda r: r[group_col])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r[group_col]] = acc
+        acc += r["one"]
+
+    import ray
+
+    oref = ray.put(offsets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        glob = (
+            batch.column("cum_excl").combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        starts = np.array(
+            [offs[g] for g in batch.column(group_col).to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "rank": pa.array(glob - starts + 1, pa.int64()),
             }
         )
 
