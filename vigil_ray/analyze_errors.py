@@ -291,9 +291,13 @@ def report_errors(
 
     # materialized ONCE: the confusion metrics and the two error listings all
     # consume the join — unpinned, the reads + join would execute three times
+    from vigil_ray.stages.blocks import compact_blocks
+
     joined = (
         pred_ds.map_batches(flatten_tipos, batch_format="pyarrow")
-        .join(truth_n, join_type="inner", num_partitions=8, on=(id_col,))
+        # truth side compacted: 0-row blocks break the join's schema
+        # broadcast (blocks.py); the truth table is eval-set-sized anyway
+        .join(compact_blocks(truth_n), join_type="inner", num_partitions=8, on=(id_col,))
         .materialize()
     )
 

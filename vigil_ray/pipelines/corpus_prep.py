@@ -87,8 +87,12 @@ def prepare_corpus(
         .aggregate(winner)
         .select_columns(["winner_key"])
     )
+    from vigil_ray.stages.blocks import compact_blocks
+
+    # winners is aggregate-derived — compact so no 0-row block leads its
+    # shuffle and drops the join's schema broadcast (blocks.py)
     deduped = hashed.join(
-        winners,
+        compact_blocks(winners),
         join_type="left_semi",
         num_partitions=8,
         on=(key_col,),

@@ -942,7 +942,13 @@ def q_doc_top_tfidf(sf_dir: str):
     df_tbl = (
         tf_tbl.select_columns(["term"]).groupby("term").aggregate(Count(alias_name="df"))
     )
-    joined = tf_tbl.join(df_tbl, join_type="inner", num_partitions=16, on=("term",))
+    from vigil_ray.stages.blocks import compact_blocks
+
+    # df side compacted (vocabulary-scale): aggregate outputs can carry
+    # 0-row blocks, which break the join's schema broadcast (blocks.py)
+    joined = tf_tbl.join(
+        compact_blocks(df_tbl), join_type="inner", num_partitions=16, on=("term",)
+    )
 
     def partial_best(batch: pa.Table) -> pa.Table:
         """Vectorized per-block reduction: one best (score, term) per doc in
@@ -1220,7 +1226,11 @@ def q_customer_order_counts(sf_dir: str):
 
     cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    ocounts = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    from vigil_ray.stages.blocks import compact_blocks
+
+    ocounts = compact_blocks(
+        orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    )
     joined = cust.join(
         ocounts, "left_outer", num_partitions=8,
         on=("c_custkey",), right_on=("o_custkey",),
@@ -1254,7 +1264,11 @@ def q_customers_no_urgent_orders(sf_dir: str):
         return batch.filter(mask).select(["o_custkey"])
 
     urgent = orders.map_batches(urgent_only, batch_format="pyarrow")
-    ucounts = urgent.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    from vigil_ray.stages.blocks import compact_blocks
+
+    ucounts = compact_blocks(
+        urgent.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    )
     joined = cust.join(
         ucounts, "left_outer", num_partitions=8,
         on=("c_custkey",), right_on=("o_custkey",),

@@ -727,7 +727,9 @@ def bloom_anti_join(
     flagged = ds.map_batches(flag, batch_format="pyarrow").materialize()
     clean = flagged.map_batches(_take(False), batch_format="pyarrow")
     candidates = flagged.map_batches(_take(True), batch_format="pyarrow")
-    verified = candidates.join(
+    # candidates is filter-derived (0-row blocks where a block had no bloom
+    # hits) — compact so the join's schema broadcast can't be lost (blocks.py)
+    verified = compact_blocks(candidates).join(
         keys_ds.select_columns([blocklist_col]),
         join_type="left_anti",
         num_partitions=num_partitions,

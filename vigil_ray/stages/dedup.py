@@ -378,6 +378,8 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int
     joined text values; the corpus is never collected to the driver or
     broadcast whole (the 100-TB-safe verify path)."""
 
+    from vigil_ray.stages.blocks import compact_blocks
+
     corpus = ds.select_columns([id_col, text_col])
 
     def _grab(batch: pa.Table, out_name: str) -> pa.Table:
@@ -387,10 +389,13 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int
         cols[out_name] = batch.column(text_col)
         return pa.table(cols)
 
-    j1 = cand.join(
+    # cand (and the first join's output) are pair-scale and filter/join
+    # -derived — compact so no 0-row block leads a shuffle and breaks the
+    # join's schema broadcast (blocks.py); the corpus side stays streaming
+    j1 = compact_blocks(cand).join(
         corpus, "inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,)
     ).map_batches(lambda b: _grab(b, "text_a"), batch_format="pyarrow")
-    j2 = j1.join(
+    j2 = compact_blocks(j1).join(
         corpus, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
     ).map_batches(lambda b: _grab(b, "text_b"), batch_format="pyarrow")
     return j2

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from vigil_ray.stages.blocks import compact_blocks
+
 
 def connected_components(
     pairs_ds,
@@ -58,10 +60,12 @@ def connected_components(
 
         return f
 
-    edges = (
+    # compact (not plain materialize): edges and labels feed hash joins
+    # every round, and a 0-row block leading a join's shuffle breaks its
+    # schema broadcast (blocks.py)
+    edges = compact_blocks(
         pairs.map_batches(_proj(a_col, b_col), batch_format="pyarrow")
         .union(pairs.map_batches(_proj(b_col, a_col), batch_format="pyarrow"))
-        .materialize()
     )
     if edges.count() == 0:
         return rd.from_arrow(
@@ -78,11 +82,13 @@ def connected_components(
             {"node": batch.column("src"), "component": batch.column("src")}
         )
 
-    labels = sorted_group_min(
-        edges.map_batches(_self_label, batch_format="pyarrow"),
-        ["node"],
-        ["component"],
-    ).materialize()
+    labels = compact_blocks(
+        sorted_group_min(
+            edges.map_batches(_self_label, batch_format="pyarrow"),
+            ["node"],
+            ["component"],
+        )
+    )
     prev_sum = labels.sum("component")
 
     def _msg(batch: pa.Table) -> pa.Table:
@@ -99,7 +105,7 @@ def connected_components(
             .map_batches(_msg, batch_format="pyarrow")
             .union(labels)
         )
-        labels = sorted_group_min(msgs, ["node"], ["component"]).materialize()
+        labels = compact_blocks(sorted_group_min(msgs, ["node"], ["component"]))
         cur_sum = labels.sum("component")
         if cur_sum == prev_sum:
             return labels
@@ -133,9 +139,9 @@ def canonical_docs(
 
     docs = docs_ds.materialize()  # consumed by both the join and the anti-join
 
-    members = components_ds.rename_columns({"node": id_col}).join(
-        docs, join_type="inner", num_partitions=num_partitions, on=(id_col,)
-    )
+    members = compact_blocks(
+        components_ds.rename_columns({"node": id_col})
+    ).join(docs, join_type="inner", num_partitions=num_partitions, on=(id_col,))
     winners = sorted_group_min(
         members,
         ["component"],
