@@ -166,6 +166,7 @@ def run_bench() -> dict:
         "events_nonblocked_counts",
         "corpus_top_terms",
         "docs_snapshot_merge",
+        "docs_corpus_lm_ppl",
     ]
     registry = query_registry()
     for name in secondary:

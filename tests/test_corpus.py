@@ -558,3 +558,62 @@ class TestPerGroupWeightedSample:
         rows = [{"g": "g", "doc_id": 1, "w": 0}]
         with pytest.raises(Exception):
             per_group_weighted_sample(_ds(rows), "g", "doc_id", "w", k=1).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenBudgetSelect:
+    def test_matches_window_semantics(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import token_budget_select
+
+        rows = [
+            {"doc_id": i, "score": float((i * 7) % 5), "cost": 10 + (i % 4)}
+            for i in range(200)
+        ]
+        out = (
+            token_budget_select(
+                rd.from_items(rows).repartition(9), "doc_id", "score", "cost", 500
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # python reference: score DESC, doc_id ASC, running sum <= budget
+        ordered = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+        run, expect = 0, {}
+        for r in ordered:
+            run += r["cost"]
+            if run > 500:
+                break
+            expect[r["doc_id"]] = run
+        assert dict(zip(out["doc_id"], out["cum_tokens"])) == expect
+        assert (out["cost"] == [10 + (i % 4) for i in out["doc_id"]]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkDupPairs:
+    def test_shared_chunk_pairs_found_once(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import chunk_dup_pairs
+
+        shared = " ".join(f"w{i}" for i in range(8))
+        rows = [
+            {"doc_id": 1, "text": shared + " tail1 a b"},
+            {"doc_id": 2, "text": shared + " tail2 c d"},  # shares chunk 0 with 1
+            {"doc_id": 3, "text": shared + " tail1 a b"},  # exact dup of 1
+            {"doc_id": 4, "text": "totally different words here now"},
+        ]
+        out = (
+            chunk_dup_pairs(
+                rd.from_items(rows).repartition(3), chunk_words=8, stride=8
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        # chunk 0 ('w0..w7') is shared by docs 1,2,3 -> pairs (1,2),(1,3),(2,3);
+        # doc 3's chunk 1 also equals doc 1's chunk 1 but the (1,3) pair is
+        # emitted exactly once (exact distinct)
+        assert list(map(tuple, out.values.tolist())) == [(1, 2), (1, 3), (2, 3)]

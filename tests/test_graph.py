@@ -57,3 +57,46 @@ class TestCanonicalDocs:
         # cluster {1,2,3}: max score 9 tie → min id 2; {10,11}: keep 11;
         # 20/21 untouched
         assert sorted(r["doc_id"] for r in kept.take_all()) == [2, 11, 20, 21]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerank:
+    def test_matches_single_process_simulator(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.graph import pagerank
+
+        n = 60
+        nodes = [{"node": i} for i in range(n)]
+        edges = []
+        for k in range(n):
+            edges.append({"src": k, "dst": (3 * k + 1) % n})
+            edges.append({"src": k, "dst": (7 * k + 2) % n})
+            if k % 5 == 0:  # non-uniform out-degree exercises the deg join
+                edges.append({"src": k, "dst": (k + 9) % n})
+        out = (
+            pagerank(
+                rd.from_items(nodes).repartition(5),
+                rd.from_items(edges).repartition(7),
+                iters=3,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        # integer-exact reference simulator (same floors, same damping split)
+        total = 10**12
+        base = total // n
+        tel = (15 * base) // 100
+        deg = {}
+        for e in edges:
+            deg[e["src"]] = deg.get(e["src"], 0) + 1
+        r = {i: base for i in range(n)}
+        for _ in range(3):
+            s = {i: 0 for i in range(n)}
+            for e in edges:
+                s[e["dst"]] += r[e["src"]] // deg[e["src"]]
+            r = {i: tel + (85 * s[i]) // 100 for i in range(n)}
+        assert dict(zip(out["node"], out["rank_micro"])) == r
+        # damped mass stays below the teleport+damping ceiling
+        assert out["rank_micro"].sum() <= total

@@ -84,3 +84,55 @@ def test_kmv_grouped_matches_per_group_simulation():
     assert out["small"] == 10.0  # below k: exact
     hs = np.sort(np.array(sorted({kmv_hash(i % 300) for i in range(600)})[:64]))
     assert out["big"] == round(kmv_estimate(hs, 64), 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMin:
+    def test_matches_single_process_and_upper_bounds(self):
+        import collections
+
+        import ray.data as rd
+
+        from vigil_ray.stages.sketches import cms_hash, cms_point_counts
+
+        depth, width = 4, 64
+        vals = [i % 37 for i in range(4000)] + [5] * 500
+        true = collections.Counter(vals)
+        out = cms_point_counts(
+            rd.from_items([{"u": v} for v in vals]).repartition(7),
+            "u",
+            probe_keys=range(10),
+            depth=depth,
+            width=width,
+        ).to_pandas()
+        # single-process reference sketch
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for v, c in true.items():
+            for j in range(depth):
+                mat[j, cms_hash(j, v) % width] += c
+        for _, row in out.iterrows():
+            k = int(row["u"])
+            expect = min(int(mat[j, cms_hash(j, k) % width]) for j in range(depth))
+            assert int(row["est_count"]) == expect
+            # CMS never underestimates
+            assert int(row["est_count"]) >= true.get(k, 0)
+
+    def test_merge_is_elementwise_sum(self):
+        # two disjoint halves sketched separately must equal the whole:
+        # folding is additive, so any block partitioning agrees
+        import ray.data as rd
+
+        from vigil_ray.stages.sketches import cms_point_counts
+
+        vals = list(range(300)) * 3
+        whole = cms_point_counts(
+            rd.from_items([{"u": v} for v in vals]).repartition(2),
+            "u",
+            probe_keys=range(5),
+        ).to_pandas()
+        again = cms_point_counts(
+            rd.from_items([{"u": v} for v in vals]).repartition(11),
+            "u",
+            probe_keys=range(5),
+        ).to_pandas()
+        assert whole.equals(again)

@@ -1663,6 +1663,93 @@ def q_docs_mixing_order(sf_dir: str):
     )
 
 
+def q_docs_token_budget(sf_dir: str):
+    """Quality-ordered selection under a global 10k-token budget: docs by
+    mean_word_len DESC (ties by doc_id) while the running word count stays
+    ≤ 10000 — see :func:`vigil_ray.stages.corpus.token_budget_select`
+    (one distributed prefix scan, then a parallel filter)."""
+    from vigil_ray.kernel.quality import quality_features
+    from vigil_ray.stages.corpus import token_budget_select
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        rows = [quality_features(t or "") for t in batch.column("text").to_pylist()]
+        keep = [i for i, r in enumerate(rows) if r["n_words"] > 0]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(keep)),
+                "n_words": pa.array([rows[i]["n_words"] for i in keep], pa.int64()),
+                "mwl": pa.array(
+                    [rows[i]["mean_word_len"] for i in keep], pa.float64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return token_budget_select(scored, "doc_id", "mwl", "n_words", budget=10000)
+
+
+def q_events_cms_user_counts(sf_dir: str):
+    """Count-Min sketch (4×256, md5 row hashes) point-frequency estimates
+    for user_ids 0..19 — see
+    :func:`vigil_ray.stages.sketches.cms_point_counts`; the oracle rebuilds
+    every bucket's collision sum exactly, so the approximate answer is
+    hash-checked, not trusted."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sketches import cms_point_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_point_counts(ds, "user_id", probe_keys=range(20), depth=4, width=256)
+
+
+def q_docs_chunk_dup_pairs(sf_dir: str):
+    """Document pairs sharing ≥1 identical 50-word context-window chunk —
+    see :func:`vigil_ray.stages.corpus.chunk_dup_pairs` (chunk-fingerprint
+    explode → sorted-adjacency bucket pairs → exact distinct)."""
+    from vigil_ray.stages.corpus import chunk_dup_pairs
+
+    return chunk_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), chunk_words=50, stride=40
+    )
+
+
+def q_docs_pagerank(sf_dir: str):
+    """Distributed PageRank (3 integer-exact iterations, damping 0.85) over
+    a deterministic doc-id link graph (each doc links to ``(31k+7) % N`` and
+    ``(17k+3) % N``) — see :func:`vigil_ray.stages.graph.pagerank`. The
+    oracle unrolls the identical integer iteration in SQL, so the iterative
+    algorithm is hash-checked, not trusted."""
+    from vigil_ray.stages.graph import pagerank
+
+    ds = _docs(sf_dir, ["doc_id"])
+    n = ds.count()
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id")})
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.concatenate([k, k])
+        dst = np.concatenate([(31 * k + 7) % n, (17 * k + 3) % n])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    pr = pagerank(
+        ds.map_batches(to_nodes, batch_format="pyarrow"),
+        ds.map_batches(to_edges, batch_format="pyarrow"),
+        iters=3,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "rank_micro"])
+
+    return pr.map_batches(rename, batch_format="pyarrow")
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 1-in-10 key-hash sample as a vectorized Arrow filter
     inside ``map_batches`` (Ray's ``filter(expr=...)`` grammar has no
@@ -2257,7 +2344,45 @@ def queries() -> Dict[str, Callable]:
         "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "docs_mixing_order": q_docs_mixing_order,
+        "docs_token_budget": q_docs_token_budget,
+        "events_cms_user_counts": q_events_cms_user_counts,
+        "docs_chunk_dup_pairs": q_docs_chunk_dup_pairs,
+        "docs_pagerank": q_docs_pagerank,
     }
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-exact PageRank iteration (mirrors
+    :func:`vigil_ray.stages.graph.pagerank` bit-for-bit: same floor
+    divisions, same damping split, same dangling/no-in-edge handling)."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents), ",
+        "nodes AS (SELECT doc_id AS v FROM documents), ",
+        "edges AS (SELECT doc_id AS src, (31 * doc_id + 7) % nn.n AS dst "
+        "  FROM documents, nn "
+        "  UNION ALL "
+        "  SELECT doc_id, (17 * doc_id + 3) % nn.n FROM documents, nn), ",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src), ",
+        "c0 AS (SELECT (1000000000000 // n) AS base, "
+        "  ((15 * (1000000000000 // n)) // 100) AS tel FROM nn), ",
+        "r0 AS (SELECT v, (SELECT base FROM c0) AS r FROM nodes), ",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS v, CAST(sum(r{i-1}.r // dg.d) AS BIGINT) AS s "
+            f"  FROM edges e JOIN r{i-1} ON e.src = r{i-1}.v "
+            f"  JOIN deg dg ON e.src = dg.src GROUP BY e.dst), "
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.v, (SELECT tel FROM c0) + "
+            f"(85 * coalesce(s{i}.s, 0)) // 100 AS r "
+            f"  FROM nodes LEFT JOIN s{i} ON nodes.v = s{i}.v), "
+        )
+    sql = "".join(parts).rstrip(", ")
+    sql += (
+        f" SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+    return sql
 
 
 def oracle_sql() -> Dict[str, str]:
@@ -2889,4 +3014,53 @@ SELECT a, b FROM pairdist WHERE d <= 3
             f"SELECT doc_id, lang, rnk, rnk * {_MIX_STRIDE_CASE} AS priority "
             "FROM ranked ORDER BY priority, lang, rnk LIMIT 200"
         ),
+        "docs_token_budget": (
+            # same quality features as doc_quality_stats (hash-proven equal
+            # to the engine's quality_features), same DESC/ties window order
+            "WITH q AS (SELECT doc_id, "
+            "  array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+            "    array_length(regexp_split_to_array(trim(text), '\\s+')), 6) AS mwl "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "s AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "  CAST(sum(n_words) OVER (ORDER BY mwl DESC, doc_id) AS BIGINT) AS cum_tokens "
+            "  FROM q) "
+            "SELECT doc_id, n_words, cum_tokens FROM s WHERE cum_tokens <= 10000"
+        ),
+        "events_cms_user_counts": (
+            # exact reconstruction of the 4x256 Count-Min estimate: per-key
+            # true counts -> md5 bucket of every observed key under each of
+            # the 4 hash rows -> bucket collision sums -> min over rows for
+            # each probed key (keys 0..19; empty buckets coalesce to 0)
+            "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c "
+            "  FROM events GROUP BY user_id), "
+            "j AS (SELECT unnest([0, 1, 2, 3]) AS j), "
+            "hb AS (SELECT u.user_id, j.j, CAST(CAST('0x' || substr(md5("
+            "  CAST(j.j AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)"
+            "), 1, 16) AS UBIGINT) % 256 AS BIGINT) AS b, u.c "
+            "  FROM u CROSS JOIN j), "
+            "bs AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS s FROM hb GROUP BY j, b), "
+            "probe AS (SELECT unnest(range(0, 20)) AS user_id), "
+            "pj AS (SELECT p.user_id, j.j, CAST(CAST('0x' || substr(md5("
+            "  CAST(j.j AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)"
+            "), 1, 16) AS UBIGINT) % 256 AS BIGINT) AS b "
+            "  FROM probe p CROSS JOIN j) "
+            "SELECT CAST(pj.user_id AS BIGINT) AS user_id, "
+            "CAST(min(coalesce(bs.s, 0)) AS BIGINT) AS est_count "
+            "FROM pj LEFT JOIN bs ON pj.j = bs.j AND pj.b = bs.b "
+            "GROUP BY pj.user_id ORDER BY user_id"
+        ),
+        "docs_chunk_dup_pairs": (
+            # the docs_chunks window arithmetic, then a distinct self-join
+            # on the chunk fingerprint
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT doc_id, words, "
+            "  unnest(range(0, array_length(words), 40)) AS s FROM w), "
+            "f AS (SELECT DISTINCT doc_id, "
+            "  md5(array_to_string(words[s+1:s+50], ' ')) AS fp FROM c) "
+            "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+            "FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id"
+        ),
+        "docs_pagerank": _pagerank_oracle(3),
     }

@@ -1039,3 +1039,125 @@ def contamination_flags(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Cross-document shared-chunk duplicate pairs
+# --------------------------------------------------------------------------
+
+def chunk_dup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 50,
+    stride: int = 40,
+    max_bucket: int = 2000,
+):
+    """Document pairs that share at least one IDENTICAL context-window chunk
+    (:func:`chunk_documents` windows, md5 fingerprint per chunk) — the
+    chunk-granular exact-duplicate detector that catches boilerplate blocks
+    and partial copies whole-document hashing misses.
+
+    Distributed shape: explode to (fp, doc) rows with per-batch local
+    distinct (a doc repeating a chunk contributes one row), then the same
+    sort + run-adjacency + boundary-reconciliation pair generator the LSH
+    dedups use (``dedup.sorted_bucket_pairs`` — no per-group aggregate
+    machinery, truncation counted and warned), then exact distinct pairs
+    (``dedup._distinct_pairs``: vectorized local dedupe before one small
+    groupby). Nothing corpus-sized reaches the driver.
+    """
+    import hashlib
+
+    from vigil_ray.stages.dedup import _distinct_pairs, sorted_bucket_pairs
+
+    chunks = chunk_documents(
+        ds, id_col=id_col, text_col=text_col, chunk_words=chunk_words, stride=stride
+    )
+
+    def fps(batch: pa.Table) -> pa.Table:
+        seen = set()
+        out_fp: List[str] = []
+        out_id: List[int] = []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column("chunk_text").to_pylist(),
+        ):
+            fp = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if (fp, d) not in seen:
+                seen.add((fp, d))
+                out_fp.append(fp)
+                out_id.append(d)
+        return pa.table(
+            {
+                "fp": pa.array(out_fp, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+            }
+        )
+
+    rows = chunks.map_batches(fps, batch_format="pyarrow")
+
+    def all_pairs(members: list) -> list:
+        out = []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out.append((members[i][0], members[j][0]))
+        return out
+
+    cand = sorted_bucket_pairs(
+        rows, ["fp"], [id_col], all_pairs, max_bucket, "chunk_dup_pairs"
+    )
+    return _distinct_pairs(cand)
+
+
+# --------------------------------------------------------------------------
+# Token-budget selection
+# --------------------------------------------------------------------------
+
+def token_budget_select(ds, id_col: str, score_col: str, cost_col: str, budget: int):
+    """Quality-ordered corpus selection under a global token budget: take
+    rows in ``score_col`` DESC (ties by ``id_col``) order while the running
+    ``cost_col`` total stays ≤ ``budget`` — the "best N tokens" selection
+    every fixed-budget training run makes.
+
+    Distributed shape: one :func:`prefix_scan` (global sort on the negated
+    score + two pinned passes with a block-offset barrier) then an
+    embarrassingly-parallel filter on the inclusive running sum. The sum
+    stays integer-exact for integer costs (a 100-TB token budget exceeds
+    2^53). Output ``(id, cost, cum_tokens)`` — exactly the SQL window
+    ``sum(cost) OVER (ORDER BY score DESC, id) <= budget``.
+    """
+
+    def neg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "_neg_score", pc.negate(batch.column(score_col))
+        )
+
+    scanned = prefix_scan(
+        ds.map_batches(neg, batch_format="pyarrow"),
+        ["_neg_score", id_col],
+        cost_col=cost_col,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cost = batch.column(cost_col).combine_chunks().to_numpy(zero_copy_only=False)
+        cum = (
+            batch.column("cum_excl").combine_chunks().to_numpy(zero_copy_only=False)
+            + cost
+        )
+        keep = cum <= budget
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch.column(id_col)
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                cost_col: pa.array(cost[keep], pa.int64()),
+                "cum_tokens": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

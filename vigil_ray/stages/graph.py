@@ -162,3 +162,117 @@ def canonical_docs(
     return winners.map_batches(_ids, batch_format="pyarrow").union(
         singles.map_batches(_ids, batch_format="pyarrow")
     )
+
+
+def pagerank(nodes_ds, edges_ds, iters: int = 3, total: int = 10**12,
+             num_partitions: int = 8):
+    """Distributed PageRank over an (src, dst) edge list — the canonical
+    iterative web-graph computation (Page et al. 1999; domain-rank quality
+    signals over a Common-Crawl-style link graph). Returns one row per node:
+    ``(node, rank_micro)``.
+
+    INTEGER-EXACT protocol (the corpus-LM trick, stages/lm.py): all mass is
+    integer micro-units of ``total`` and every division floors, so the
+    per-target sums are order-independent and a SQL oracle reproduces the
+    iteration bit-for-bit — an exactly-checked iterative algorithm instead
+    of "converges, trust me":
+
+    - ``r0 = total // N`` for every node;
+    - per edge, ``contrib = r_src // outdeg(src)``;
+    - ``r' = (15 * (total // N)) // 100 + (85 * sum(contrib)) // 100``
+      (damping 0.85; nodes with no in-edges keep the teleport term).
+
+    Per-iteration cost (the 100-TB ledger): ONE hash join of the edge list
+    against the node-sized rank table (the shuffle carries (int64, int64)
+    rows only — never text) plus one ``sorted_group_sum`` on dst. The static
+    out-degree is joined to the edge list ONCE before the loop. Dangling
+    mass (out-degree-0 nodes) is dropped, not redistributed — documented,
+    mirrored exactly by the oracle.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vigil_ray.stages.blocks import safe_join
+    from vigil_ray.stages.corpus import sorted_group_sum
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array([1] * batch.num_rows, pa.int64())
+        )
+
+    deg = sorted_group_sum(
+        edges_ds.select_columns(["src"]).map_batches(ones, batch_format="pyarrow"),
+        ["src"],
+        ["one"],
+    )  # (src, one) where one = out-degree
+    edges_deg = safe_join(
+        edges_ds, deg, "inner", num_partitions=num_partitions, on=("src",)
+    ).materialize()  # static across iterations — pin it
+
+    n_nodes = nodes_ds.count()
+    base = total // n_nodes
+    teleport = (15 * base) // 100
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "r": pa.array([base] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    nodes = nodes_ds.materialize()  # consumed every iteration
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
+
+    for _ in range(iters):
+        j = safe_join(
+            edges_deg,
+            ranks,
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch.column("r").combine_chunks().to_numpy(zero_copy_only=False)
+            d = batch.column("one").combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "dst": batch.column("dst"),
+                    "c": pa.array(r // d, pa.int64()),
+                }
+            )
+
+        sums = sorted_group_sum(
+            j.map_batches(contrib, batch_format="pyarrow"), ["dst"], ["c"]
+        )
+        joined = safe_join(
+            nodes,
+            sums,
+            "left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+            right_on=("dst",),
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = (
+                batch.column("c")
+                .combine_chunks()
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "r": pa.array(teleport + (85 * s) // 100, pa.int64()),
+                }
+            )
+
+        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "rank_micro"])
+
+    return ranks.map_batches(rename, batch_format="pyarrow")

@@ -197,3 +197,94 @@ def kmv_grouped(ds, col: str, group_col: str, k: int = 64):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates)
+# --------------------------------------------------------------------------
+
+def cms_hash(row: int, value) -> int:
+    """Bucket of ``value`` under hash row ``row`` — first 8 bytes of
+    md5 of ``"{row}:{value}"``, reduced mod the sketch width. String-typed
+    like :func:`kmv_hash` so a DuckDB oracle can recompute it
+    (``CAST('0x' || substr(md5(...), 1, 16) AS UBIGINT) % width``)."""
+    h = int.from_bytes(
+        hashlib.md5(f"{row}:{value}".encode("utf-8")).digest()[:8], "big"
+    )
+    return h
+
+
+def cms_point_counts(ds, col: str, probe_keys, depth: int = 4, width: int = 256):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for a fixed probe-key set — the mergeable heavy-hitter / point-query
+    counter a 10^12-row pipeline uses where an exact per-key groupby would
+    shuffle the whole key column.
+
+    Shape: each block folds its values into a ``depth×width`` int64 count
+    matrix (per-block cost: one ``np.unique`` + ``depth`` md5 calls per
+    DISTINCT value, then a vectorized scatter-add); the global
+    ``AggregateFn`` merge is an elementwise matrix sum — the shuffle moves
+    ``depth·width`` int64s per block (8 KiB at 4×256), never the key column.
+    The estimate for key k is ``min_j M[j, h_j(k)]`` — an upper bound on the
+    true count (collisions only add), within ``εN`` with the usual
+    ``(ε, δ) = (e/width, e^-depth)`` guarantee.
+
+    Exactly SQL-checkable (the KMV trick): the oracle rebuilds every
+    bucket's collision sum from the exact per-key counts with the same md5
+    bucket hash and takes the same min — see ``queries.py``
+    ``events_cms_user_counts``.
+
+    Returns a one-row-per-probe-key table ``(key: int64, est_count: int64)``
+    ordered by key.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    size = depth * width
+
+    def _fold(acc: np.ndarray, block) -> np.ndarray:
+        vals = (
+            block.column(col).to_numpy(zero_copy_only=False)
+            if isinstance(block, pa.Table)
+            else np.asarray(block[col])
+        )
+        uniq, counts = np.unique(vals, return_counts=True)
+        mat = acc.reshape(depth, width)
+        for v, c in zip(uniq.tolist(), counts.tolist()):
+            for j in range(depth):
+                mat[j, cms_hash(j, v) % width] += c
+        return acc
+
+    def _acc_block(acc: list, block) -> list:
+        a = np.asarray(acc, dtype=np.int64)
+        if a.size == 0:
+            a = np.zeros(size, dtype=np.int64)
+        return _fold(a, block).tolist()
+
+    def _merge(left: list, right: list) -> list:
+        if not left:
+            return right
+        if not right:
+            return left
+        return (
+            np.asarray(left, dtype=np.int64) + np.asarray(right, dtype=np.int64)
+        ).tolist()
+
+    sketch = AggregateFn(
+        init=lambda *a: [],
+        merge=_merge,
+        name="cms",
+        accumulate_block=_acc_block,
+    )
+    res = ds.aggregate(sketch)
+    mat = np.asarray(res["cms"], dtype=np.int64).reshape(depth, width)
+    keys = sorted(int(k) for k in probe_keys)
+    ests = [
+        int(min(mat[j, cms_hash(j, k) % width] for j in range(depth)))
+        for k in keys
+    ]
+    return pa.table(
+        {
+            col: pa.array(keys, pa.int64()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )
