@@ -136,3 +136,41 @@ class TestCountMin:
             probe_keys=range(5),
         ).to_pandas()
         assert whole.equals(again)
+
+
+class TestHllKernel:
+    def test_parts_bit_layout(self):
+        from vigil_ray.stages.sketches import hll_parts
+
+        idx, rho = hll_parts(42)
+        assert 0 <= idx < 64 and 1 <= rho <= 59
+
+    def test_estimate_accuracy(self):
+        # stderr ~ 1.04/sqrt(64) = 13%; assert a loose 3-sigma bound
+        import numpy as np
+
+        from vigil_ray.stages.sketches import hll_estimate, hll_parts
+
+        for n in (100, 2000, 50000):
+            regs = np.zeros(64, dtype=np.int64)
+            for i in range(n):
+                idx, rho = hll_parts(i)
+                regs[idx] = max(regs[idx], rho)
+            est = hll_estimate(regs)
+            assert abs(est - n) / n < 0.4, (n, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_stage_matches_single_process():
+    import numpy as np
+    import ray.data as rd
+
+    from vigil_ray.stages.sketches import hll_distinct, hll_estimate, hll_parts
+
+    items = [{"k": f"key{i % 700}"} for i in range(6000)]
+    out = hll_distinct(rd.from_items(items).repartition(9), "k").to_pandas()
+    regs = np.zeros(64, dtype=np.int64)
+    for i in range(700):
+        idx, rho = hll_parts(f"key{i}")
+        regs[idx] = max(regs[idx], rho)
+    assert out["n_distinct_est"][0] == round(hll_estimate(regs), 6)

@@ -1714,6 +1714,69 @@ def q_docs_chunk_dup_pairs(sf_dir: str):
     )
 
 
+def q_events_skew_join_segments(sf_dir: str):
+    """events ⋈ customer via the skew-aware join (hot keys detected on a
+    row sample, their dimension rows broadcast and joined map-side, cold
+    keys through the ordinary hash join — see
+    :func:`vigil_ray.stages.joins.skew_join`), then per-segment totals in
+    exact integer cents via ``sorted_group_sum``."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.joins import skew_join
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = np.asarray(
+            [round(v * 100) for v in batch.column("value").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(c, pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = skew_join(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        cust,
+        "user_id",
+        "c_custkey",
+        top_k=16,
+    )
+    sums = sorted_group_sum(
+        joined.select_columns(["c_mktsegment", "one", "cents"]),
+        ["c_mktsegment"],
+        ["one", "cents"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["c_mktsegment", "n_events", "sum_value_cents"]
+        )
+
+    return sums.map_batches(rename, batch_format="pyarrow")
+
+
+def q_events_hll_users(sf_dir: str):
+    """HyperLogLog (64 registers) distinct-user estimate — see
+    :func:`vigil_ray.stages.sketches.hll_distinct`; like the KMV queries,
+    the oracle rebuilds the registers and the identical estimate, so the
+    approximate answer is hash-checked."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sketches import hll_distinct
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_distinct(ds, "user_id")
+
+
 def q_docs_pagerank(sf_dir: str):
     """Distributed PageRank (3 integer-exact iterations, damping 0.85) over
     a deterministic doc-id link graph (each doc links to ``(31k+7) % N`` and
@@ -2348,6 +2411,8 @@ def queries() -> Dict[str, Callable]:
         "events_cms_user_counts": q_events_cms_user_counts,
         "docs_chunk_dup_pairs": q_docs_chunk_dup_pairs,
         "docs_pagerank": q_docs_pagerank,
+        "events_hll_users": q_events_hll_users,
+        "events_skew_join_segments": q_events_skew_join_segments,
     }
 
 
@@ -3063,4 +3128,34 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id"
         ),
         "docs_pagerank": _pagerank_oracle(3),
+        "events_hll_users": (
+            # identical HLL rebuilt from scratch: same md5-derived 64-bit
+            # hash, top-6-bit register index, rho from bin() bit length,
+            # INTEGER denominator sum (HUGEINT — order-independent where a
+            # float sum could round), and the same float expression +
+            # small-range linear-counting branch (ln verified bit-equal)
+            "WITH h AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) AS hv "
+            "  FROM events), "
+            "rr AS (SELECT CAST(hv >> 58 AS BIGINT) AS idx, "
+            "  CASE WHEN hv % 288230376151711744 = 0 THEN 59 "
+            "       ELSE 59 - length(bin(hv % 288230376151711744)) END AS rho "
+            "  FROM h), "
+            "reg AS (SELECT idx, max(rho) AS mx FROM rr GROUP BY idx), "
+            "agg AS (SELECT CAST(count(*) AS BIGINT) AS present, "
+            "  sum(CAST(1 AS HUGEINT) << CAST(59 - mx AS INTEGER)) AS sp FROM reg), "
+            "fin AS (SELECT (64 - present) AS v, "
+            "  coalesce(sp, 0) + (64 - present) * (CAST(1 AS HUGEINT) << 59) AS s FROM agg), "
+            "e AS (SELECT v, CAST(0.709 AS DOUBLE) * 64 * 64 * 576460752303423488.0 "
+            "  / CAST(s AS DOUBLE) AS e_raw FROM fin) "
+            "SELECT round(CASE WHEN e_raw <= 160.0 AND v > 0 "
+            "  THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 6) AS n_distinct_est FROM e"
+        ),
+        "events_skew_join_segments": (
+            # the skew routing (hot map-side / cold hash join) is pure
+            # mechanism — the result is a plain inner join + group totals
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
     }

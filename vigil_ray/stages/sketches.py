@@ -288,3 +288,100 @@ def cms_point_counts(ds, col: str, probe_keys, depth: int = 4, width: int = 256)
             "est_count": pa.array(ests, pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (fixed 64-register) distinct count
+# --------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (b = 6 index bits)
+_HLL_REM_BITS = 58   # remaining hash bits scanned for the leading 1
+_HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, table for m = 64)
+
+
+def hll_parts(value) -> tuple:
+    """(register index, rho) of one key: top 6 bits of the md5-derived
+    64-bit hash pick the register; rho = 1-based position of the leftmost
+    1 in the remaining 58 bits (59 when they are all zero). String-typed
+    md5 like :func:`kmv_hash` so DuckDB can recompute it (``bin()`` gives
+    the bit length for the leading-zero count)."""
+    h = int.from_bytes(hashlib.md5(str(value).encode("utf-8")).digest()[:8], "big")
+    idx = h >> _HLL_REM_BITS
+    rem = h & ((1 << _HLL_REM_BITS) - 1)
+    rho = (_HLL_REM_BITS + 1) - rem.bit_length() if rem else _HLL_REM_BITS + 1
+    return idx, rho
+
+
+def hll_distinct(ds, col: str):
+    """→ one-row table ``(n_distinct_est: double)`` — HyperLogLog with 64
+    registers, the constant-memory cardinality sketch whose registers merge
+    by elementwise MAX (the property that makes it the warehouse-standard
+    ``approx_count_distinct``).
+
+    Shape: per-block partial = the 64-register max array (one md5 per
+    DISTINCT value in the block); global ``AggregateFn`` merge = elementwise
+    max — the shuffle moves 64 ints per block. The estimate (and its
+    small-range linear-counting correction for E ≤ 2.5m with empty
+    registers) is driver-side arithmetic over the 64 registers.
+
+    Exactly SQL-checkable: the denominator ``Σ 2^(-M_j)`` is accumulated as
+    the INTEGER ``Σ 2^(59-M_j)`` (Python int / DuckDB HUGEINT — exact and
+    order-independent, where a float sum could round differently per
+    addition order), and the final float expression is written identically
+    on both sides (verified bit-equal on this host, including ``ln``).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def _fold(acc: np.ndarray, block) -> np.ndarray:
+        vals = (
+            block.column(col).to_pylist()
+            if isinstance(block, pa.Table)
+            else list(block[col])
+        )
+        for v in set(vals):
+            idx, rho = hll_parts(v)
+            if rho > acc[idx]:
+                acc[idx] = rho
+        return acc
+
+    def _acc_block(acc: list, block) -> list:
+        a = np.asarray(acc, dtype=np.int64)
+        if a.size == 0:
+            a = np.zeros(_HLL_M, dtype=np.int64)
+        return _fold(a, block).tolist()
+
+    def _merge(left: list, right: list) -> list:
+        if not left:
+            return right
+        if not right:
+            return left
+        return np.maximum(
+            np.asarray(left, dtype=np.int64), np.asarray(right, dtype=np.int64)
+        ).tolist()
+
+    sketch = AggregateFn(
+        init=lambda *a: [],
+        merge=_merge,
+        name="hll",
+        accumulate_block=_acc_block,
+    )
+    regs = np.asarray(ds.aggregate(sketch)["hll"], dtype=np.int64)
+    est = round(hll_estimate(regs), 6)
+    return pa.table({"n_distinct_est": pa.array([est], pa.float64())})
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Estimate from the 64 registers — integer-exact denominator, then the
+    one float expression mirrored verbatim by the SQL oracle."""
+    m = _HLL_M
+    # Σ 2^(-M_j) = S / 2^59 with S an exact (arbitrary-precision) integer
+    s = sum(1 << (_HLL_REM_BITS + 1 - int(r)) for r in regs)
+    e_raw = (
+        _HLL_ALPHA * m * m * float(1 << (_HLL_REM_BITS + 1)) / float(s)
+    )
+    v = int(np.count_nonzero(regs == 0))
+    if e_raw <= 2.5 * m and v > 0:
+        import math
+
+        return float(m) * math.log(float(m) / v)
+    return e_raw
