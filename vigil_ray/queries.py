@@ -1765,6 +1765,54 @@ def q_events_skew_join_segments(sf_dir: str):
     return sums.map_batches(rename, batch_format="pyarrow")
 
 
+def q_events_user_gaps(sf_dir: str):
+    """LAG window analytic: each event's gap (µs) to the SAME user's
+    previous event in (ts, event_id) order — SQL ``epoch_us(ts) -
+    lag(epoch_us(ts)) OVER (PARTITION BY user ORDER BY ts, event_id)``.
+    Ray shape: the sessionize/cumulative collect-list aggregate (per-key
+    state = one user's history), vectorized sort + diff per batch of users;
+    each user's first event has no predecessor and is omitted."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def _pairs(block) -> list:
+        if isinstance(block, pa.Table):
+            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
+            return list(zip(ts.to_pylist(), block.column("event_id").to_pylist()))
+        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
+        return list(zip(ts.to_pylist(), list(block["event_id"])))
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda left, right: left + right,
+        name="evs",
+        accumulate_block=lambda acc, block: acc + _pairs(block),
+    )
+    per_user = ds.groupby("user_id").aggregate(collect)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        eids, gaps = [], []
+        for evs in batch.column("evs").to_pylist():
+            evs = sorted(tuple(e) for e in evs)  # (ts, event_id)
+            ts = np.fromiter((e[0] for e in evs), dtype=np.int64, count=len(evs))
+            d = np.diff(ts)
+            eids.extend(e[1] for e in evs[1:])
+            gaps.extend(d.tolist())
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "gap_us": pa.array(gaps, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(explode, batch_format="pyarrow")
+
+
 def q_events_hll_users(sf_dir: str):
     """HyperLogLog (64 registers) distinct-user estimate — see
     :func:`vigil_ray.stages.sketches.hll_distinct`; like the KMV queries,
@@ -2413,6 +2461,7 @@ def queries() -> Dict[str, Callable]:
         "docs_pagerank": q_docs_pagerank,
         "events_hll_users": q_events_hll_users,
         "events_skew_join_segments": q_events_skew_join_segments,
+        "events_user_gaps": q_events_user_gaps,
     }
 
 
@@ -3157,5 +3206,12 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "events_user_gaps": (
+            "WITH g AS (SELECT event_id, epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+            "FROM events) "
+            "SELECT event_id, CAST(gap_us AS BIGINT) AS gap_us FROM g "
+            "WHERE gap_us IS NOT NULL"
         ),
     }
