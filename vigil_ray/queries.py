@@ -2372,6 +2372,39 @@ def q_docs_contamination(sf_dir: str):
     return contamination_flags(corpus, bench, ngram=5)
 
 
+def q_events_props_k(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``$.k`` field out of the
+    ``props`` JSON sidecar column for every event (vectorized Rust JSON
+    kernel via polars — no per-row ``json.loads``; stateless map stage, no
+    shuffle)."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.semistructured import json_path_extract
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    ds = json_path_extract(ds, "props", "$.k", "k", pa.int64())
+    return ds.select_columns(["event_id", "k"])
+
+
+def q_events_props_stats(sf_dir: str):
+    """Extraction feeding an aggregate: per event_type stats over the
+    JSON-extracted ``k`` (the flatten-then-aggregate shape a crawl-metadata
+    pipeline runs; extraction stays a task map, only the small per-type
+    aggregate shuffles)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.semistructured import json_path_extract
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = json_path_extract(ds, "props", "$.k", "k", pa.int64())
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("k", alias_name="sum_k"),
+        Min("k", alias_name="min_k"),
+        Max("k", alias_name="max_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2462,6 +2495,8 @@ def queries() -> Dict[str, Callable]:
         "events_hll_users": q_events_hll_users,
         "events_skew_join_segments": q_events_skew_join_segments,
         "events_user_gaps": q_events_user_gaps,
+        "events_props_k": q_events_props_k,
+        "events_props_stats": q_events_props_stats,
     }
 
 
@@ -3213,5 +3248,16 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "FROM events) "
             "SELECT event_id, CAST(gap_us AS BIGINT) AS gap_us FROM g "
             "WHERE gap_us IS NOT NULL"
+        ),
+        "events_props_k": (
+            "SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "events_props_stats": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
     }
