@@ -12,8 +12,9 @@ then score every document under it:
   collected to the driver or broadcast whole — the same rule the tf-idf df
   join follows).
 * :func:`corpus_bigram_ppl` — score each document with add-one-smoothed
-  bigram perplexity by hash-JOINING the per-doc bigram rows against the
-  count tables (two key-key joins), then a per-doc ``sorted_group_sum``.
+  bigram perplexity via ONE sorted-adjacency merge of the exploded bigram
+  rows with the unigram table (join-free), then a per-doc
+  ``sorted_group_sum``.
 * :func:`bigram_pmi_topk` — top-k collocations by pointwise mutual
   information over the same count tables.
 
@@ -104,64 +105,199 @@ def unigram_counts(ds, text_col: str = "text"):
 
 def corpus_bigram_ppl(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Add-one-smoothed bigram perplexity of every document under the
-    corpus's OWN bigram model, end-to-end distributed:
+    corpus's OWN bigram model, end-to-end distributed and JOIN-FREE:
 
-    1. explode per-doc bigram counts E = (id, w1, w2, c);
-    2. global model tables B = (w1, w2, n12) and U = (w1, n1) via
-       ``sorted_group_sum`` (vocabulary-sized, stay distributed);
-    3. M = B ⋈ U on w1 (vocabulary-scale join) → one model table
-       (w1, w2, n12, n1); then ONE corpus-scale join E ⋈ M on (w1, w2) —
-       the corpus rows shuffle once, the model is never broadcast;
-    4. per-row integer cost c·floor((ln(n1+V) − ln(n12+1))·1e6 + 0.5)
-       (micro-nats), per-doc ``sorted_group_sum``, ppl = exp(mean).
+    1. explode per-doc bigram counts E = (id, w1, w2, c); global unigram
+       table U = (w1, n1) via ``sorted_group_sum`` (vocabulary-sized, stays
+       distributed; V = its count is the one driver scalar);
+    2. ONE corpus-scale sort of E ∪ U by (w1, src, w2) — the sorted-adjacency
+       merge: inside each w1 run the U row leads (src=0) and its n1
+       propagates down the run; inside each (w1, w2) sub-run the global
+       bigram count n12 is the run-sum of c. Both attach in the same pass,
+       replacing the bi-table build + two hash joins of the earlier design
+       (each Ray join spins a shuffle-aggregator pool; measured ~3 s of
+       machinery per join at sf0.1 — the same ~25 µs/group tax
+       ``sorted_group_sum`` exists to avoid). Runs that straddle a block
+       edge defer ≤4 tiny rows per block (w1/n1 marker + partial c-sums) to
+       the driver, which reconciles and broadcasts the boundary dicts back —
+       never row-sized data;
+    3. per-row integer cost c·floor((ln(n1+V) − ln(n12+1))·1e6 + 0.5)
+       (micro-nats) computed in the same pass, per-doc ``sorted_group_sum``,
+       ppl = exp(mean).
 
-    V (vocabulary size) is the one driver-side scalar (a count of the
-    vocabulary table). Output: (id, n_bigrams, ppl) for every doc with ≥2
-    words, ppl quantized half-up to 6 decimals."""
-    from vigil_ray.stages.blocks import compact_blocks, safe_join
+    Output: (id, n_bigrams, ppl) for every doc with ≥2 words, ppl quantized
+    half-up to 6 decimals."""
+    from vigil_ray.stages.blocks import compact_blocks
     from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.runs import np_col, run_starts
 
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
     rows = _doc_bigram_rows(ds, id_col, text_col)
-    # E feeds both the model aggregate and the scoring join — pin it so the
-    # tokenize/explode lineage runs once (CLAUDE.md: multiply-consumed
-    # lineages re-execute per consumer unless materialized). compact_blocks
-    # (not plain materialize): every table below feeds a hash join, and
-    # 0-row blocks break Ray's join schema broadcast (blocks.py).
-    rows = compact_blocks(rows)
-    bi = sorted_group_sum(
-        rows.select_columns(["w1", "w2", "c"]).rename_columns({"c": "n12"}),
-        ["w1", "w2"],
-        ["n12"],
-    )
     uni = compact_blocks(unigram_counts(ds, text_col))
     vocab = uni.count()
 
-    # fold the unigram counts INTO the bigram table first (vocabulary-scale
-    # join), so the corpus-scale rows shuffle through exactly ONE join
-    model = safe_join(
-        bi, uni, "inner", num_partitions=_join_partitions(), on=("w1",)
-    )
-    joined = safe_join(
-        rows, model, "inner", num_partitions=_join_partitions(), on=("w1", "w2")
-    )
+    cols = ["w1", "src", "w2", id_col, "c", "n1"]
 
-    def cost(batch: pa.Table) -> pa.Table:
-        n12 = batch.column("n12").combine_chunks().to_numpy(zero_copy_only=False)
-        n1 = batch.column("n1").combine_chunks().to_numpy(zero_copy_only=False)
-        c = batch.column("c").combine_chunks().to_numpy(zero_copy_only=False)
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "src": pa.array(np.ones(n, np.int8)),
+                "w2": batch.column("w2"),
+                id_col: batch.column(id_col),
+                "c": batch.column("c"),
+                "n1": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def tag_uni(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "src": pa.array(np.zeros(n, np.int8)),
+                "w2": pa.array([""] * n, pa.string()),
+                id_col: pa.nulls(n, id_type),
+                "c": pa.array(np.zeros(n, np.int64)),
+                "n1": batch.column("n1"),
+            }
+        )
+
+    combined = rows.map_batches(tag_rows, batch_format="pyarrow").union(
+        uni.map_batches(tag_uni, batch_format="pyarrow")
+    )
+    merged = compact_blocks(combined.sort(["w1", "src", "w2"]))
+
+    # --- phase A: ≤4 boundary rows per block ------------------------------
+    def _empty_boundary() -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array([], pa.int32()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "val": pa.array([], pa.int64()),
+                "known": pa.array([], pa.bool_()),
+            }
+        )
+
+    def _edge_idx(n_runs: int) -> list:
+        return [0] if n_runs == 1 else [0, n_runs - 1]
+
+    def boundary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_boundary()
+        src = np_col(batch, "src")
+        n1 = np_col(batch, "n1")
+        kinds, w1s, w2s, vals, knowns = [], [], [], [], []
+        w1_starts = run_starts(batch, ["w1"])
+        w1_vals = batch.column("w1")
+        for j in _edge_idx(len(w1_starts)):
+            s = int(w1_starts[j])
+            known = src[s] == 0
+            kinds.append(0)
+            w1s.append(w1_vals[s].as_py())
+            w2s.append("")
+            vals.append(int(n1[s]) if known else 0)
+            knowns.append(bool(known))
+        e_mask = src == 1
+        if e_mask.any():
+            eb = batch.filter(pa.array(e_mask))
+            e_starts = run_starts(eb, ["w1", "w2"])
+            sums = np.add.reduceat(
+                np_col(eb, "c").astype(np.int64), e_starts
+            )
+            for j in _edge_idx(len(e_starts)):
+                s = int(e_starts[j])
+                kinds.append(1)
+                w1s.append(eb.column("w1")[s].as_py())
+                w2s.append(eb.column("w2")[s].as_py())
+                vals.append(int(sums[j]))
+                knowns.append(True)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int32()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "val": pa.array(vals, pa.int64()),
+                "known": pa.array(knowns, pa.bool_()),
+            }
+        )
+
+    deferred = merged.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n1_bound: dict = {}
+    n12_bound: dict = {}
+    for r in deferred:
+        if r["kind"] == 0:
+            if r["known"]:
+                n1_bound[r["w1"]] = r["val"]
+        else:
+            k = (r["w1"], r["w2"])
+            n12_bound[k] = n12_bound.get(k, 0) + r["val"]
+
+    # --- phase B: attach n1/n12 per run, emit per-row integer costs -------
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "cost": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        src = np_col(batch, "src")
+        e_mask = src == 1
+        if not e_mask.any():
+            return empty
+        n1_col = np_col(batch, "n1")
+        w1_starts = run_starts(batch, ["w1"])
+        w1_lens = np.diff(np.append(w1_starts, batch.num_rows))
+        run_n1 = np.where(src[w1_starts] == 0, n1_col[w1_starts], -1)
+        for j in _edge_idx(len(w1_starts)):
+            key = batch.column("w1")[int(w1_starts[j])].as_py()
+            if key in n1_bound:
+                run_n1[j] = n1_bound[key]
+        row_n1 = np.repeat(run_n1, w1_lens)
+
+        eb = batch.filter(pa.array(e_mask))
+        n1_e = row_n1[e_mask]
+        e_starts = run_starts(eb, ["w1", "w2"])
+        e_lens = np.diff(np.append(e_starts, eb.num_rows))
+        c_e = np_col(eb, "c").astype(np.int64)
+        run_n12 = np.add.reduceat(c_e, e_starts)
+        for j in _edge_idx(len(e_starts)):
+            s = int(e_starts[j])
+            run_n12[j] = n12_bound.get(
+                (eb.column("w1")[s].as_py(), eb.column("w2")[s].as_py()),
+                run_n12[j],
+            )
+        row_n12 = np.repeat(run_n12, e_lens)
+
+        # inner semantics: a bigram whose prefix has no unigram row cannot
+        # occur by construction (every prefix is a corpus token); drop
+        # defensively rather than emit a wrong cost
+        ok = n1_e >= 0
+        if not ok.all():
+            eb = eb.filter(pa.array(ok))
+            n1_e, row_n12, c_e = n1_e[ok], row_n12[ok], c_e[ok]
         nll_micro = np.floor(
-            (np.log(n1 + vocab) - np.log(n12 + 1)) * 1e6 + 0.5
+            (np.log(n1_e + vocab) - np.log(row_n12 + 1)) * 1e6 + 0.5
         ).astype(np.int64)
         return pa.table(
             {
-                id_col: batch.column(id_col),
-                "cost": pa.array(c * nll_micro, pa.int64()),
-                "c": pa.array(c, pa.int64()),
+                id_col: eb.column(id_col),
+                "cost": pa.array(c_e * nll_micro, pa.int64()),
+                "c": pa.array(c_e, pa.int64()),
             }
         )
 
     per_doc = sorted_group_sum(
-        joined.map_batches(cost, batch_format="pyarrow"), [id_col], ["cost", "c"]
+        merged.map_batches(score, batch_format="pyarrow", batch_size=None),
+        [id_col],
+        ["cost", "c"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
