@@ -902,12 +902,13 @@ def q_doc_top_tfidf(sf_dir: str):
     corpus-scale, not broadcast-scale):
 
     1. one explode pass → (doc_id, term, tf) rows;
-    2. df = row-count per term (small groupby over the same rows);
-    3. idf attached via a hash-partitioned ``Dataset.join`` on term (the
-       ``_attach_pair_texts`` pattern — data joins data, nothing collects);
-    4. per-doc argmax: each joined block first reduces to ONE candidate row
-       per (block, doc) — a vectorized map-side partial — then a min-tuple
-       ``AggregateFn`` groupby(doc) picks the global best.
+    2. df attached per row by ``sortmerge.sorted_attach`` — df is just each
+       term run's length in a term-sort, so ONE native sort replaces the
+       per-term groupby AND the hash join back (each Ray join costs ~3 s of
+       shuffle-pool machinery at sf0.1, BASELINE.md);
+    3. per-doc argmax: each block first reduces to ONE candidate row per
+       (block, doc) — a vectorized map-side partial — then
+       ``sorted_group_min`` picks the global best.
 
     Ranking uses the ROUNDED score (6 dp) with term tie-break so engine and
     SQL order identically."""
@@ -916,7 +917,6 @@ def q_doc_top_tfidf(sf_dir: str):
     from collections import Counter
 
     import numpy as np
-    from ray.data.aggregate import Count
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()
@@ -938,17 +938,10 @@ def q_doc_top_tfidf(sf_dir: str):
             }
         )
 
-    tf_tbl = ds.map_batches(explode_tf, batch_format="pyarrow")
-    df_tbl = (
-        tf_tbl.select_columns(["term"]).groupby("term").aggregate(Count(alias_name="df"))
-    )
-    from vigil_ray.stages.blocks import compact_blocks
+    from vigil_ray.stages.sortmerge import sorted_attach
 
-    # df side compacted (vocabulary-scale): aggregate outputs can carry
-    # 0-row blocks, which break the join's schema broadcast (blocks.py)
-    joined = tf_tbl.join(
-        compact_blocks(df_tbl), join_type="inner", num_partitions=16, on=("term",)
-    )
+    tf_tbl = ds.map_batches(explode_tf, batch_format="pyarrow")
+    joined = sorted_attach(tf_tbl, ["term"], count_name="df")
 
     def partial_best(batch: pa.Table) -> pa.Table:
         """Vectorized per-block reduction: one best (score, term) per doc in

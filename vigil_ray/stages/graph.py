@@ -182,32 +182,24 @@ def pagerank(nodes_ds, edges_ds, iters: int = 3, total: int = 10**12,
     - ``r' = (15 * (total // N)) // 100 + (85 * sum(contrib)) // 100``
       (damping 0.85; nodes with no in-edges keep the teleport term).
 
-    Per-iteration cost (the 100-TB ledger): ONE hash join of the edge list
-    against the node-sized rank table (the shuffle carries (int64, int64)
-    rows only — never text) plus one ``sorted_group_sum`` on dst. The static
-    out-degree is joined to the edge list ONCE before the loop. Dangling
-    mass (out-degree-0 nodes) is dropped, not redistributed — documented,
-    mirrored exactly by the oracle.
+    Per-iteration cost (the 100-TB ledger): ONE ``sorted_lookup_join`` of
+    the edge list against the node-sized rank table (the shuffle carries
+    (int64, int64) rows only — never text) plus one ``sorted_group_sum`` on
+    dst and one left ``sorted_lookup_join`` back onto the node set — all
+    three are native sorts with the ≤2-rows-per-block boundary protocol
+    (stages/sortmerge.py), not hash joins: each Ray ``Dataset.join`` costs
+    ~3 s of shuffle-pool machinery at sf0.1 (BASELINE.md) and this loop ran
+    SEVEN of them in the earlier form. The static out-degree is attached
+    ONCE before the loop by ``sorted_attach`` (out-degree = each src run's
+    length). Dangling mass (out-degree-0 nodes) is dropped, not
+    redistributed — documented, mirrored exactly by the oracle.
     """
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from vigil_ray.stages.blocks import safe_join
     from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.sortmerge import sorted_attach, sorted_lookup_join
 
-    def ones(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "one", pa.array([1] * batch.num_rows, pa.int64())
-        )
-
-    deg = sorted_group_sum(
-        edges_ds.select_columns(["src"]).map_batches(ones, batch_format="pyarrow"),
-        ["src"],
-        ["one"],
-    )  # (src, one) where one = out-degree
-    edges_deg = safe_join(
-        edges_ds, deg, "inner", num_partitions=num_partitions, on=("src",)
-    ).materialize()  # static across iterations — pin it
+    edges_deg = sorted_attach(
+        edges_ds, ["src"], count_name="one"
+    ).materialize()  # (src, dst, one=outdeg); static across iterations — pin
 
     n_nodes = nodes_ds.count()
     base = total // n_nodes
@@ -224,14 +216,18 @@ def pagerank(nodes_ds, edges_ds, iters: int = 3, total: int = 10**12,
     nodes = nodes_ds.materialize()  # consumed every iteration
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
 
+    def rank_as_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("node"), "r": batch.column("r")})
+
+    def sums_as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("dst"), "c": batch.column("c")})
+
     for _ in range(iters):
-        j = safe_join(
+        j = sorted_lookup_join(
             edges_deg,
-            ranks,
-            "inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
+            ranks.map_batches(rank_as_src, batch_format="pyarrow"),
+            ["src"],
+            ["r"],
         )
 
         def contrib(batch: pa.Table) -> pa.Table:
@@ -247,13 +243,12 @@ def pagerank(nodes_ds, edges_ds, iters: int = 3, total: int = 10**12,
         sums = sorted_group_sum(
             j.map_batches(contrib, batch_format="pyarrow"), ["dst"], ["c"]
         )
-        joined = safe_join(
+        joined = sorted_lookup_join(
             nodes,
-            sums,
-            "left_outer",
-            num_partitions=num_partitions,
-            on=("node",),
-            right_on=("dst",),
+            sums.map_batches(sums_as_node, batch_format="pyarrow"),
+            ["node"],
+            ["c"],
+            how="left",
         )
 
         def update(batch: pa.Table) -> pa.Table:
