@@ -157,6 +157,33 @@ class TestBloomAntiJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestVectorizedBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        from vigil_ray.stages.corpus import vbloom_build, vbloom_mask
+
+        import pyarrow as pa
+
+        members = [f"doc_{i:05d}" for i in range(0, 400, 2)]
+        bits = vbloom_build(_ds([{"id": m} for m in members]), "id", m_bits=1 << 14)
+        probe = pa.array([f"doc_{i:05d}" for i in range(400)])
+        mask = vbloom_mask(probe, bits, 1 << 14)
+        # every member hits (no false negatives)
+        assert mask[0::2].all()
+        # non-members mostly miss at 200 keys / 16k bits
+        assert mask[1::2].sum() < 20
+
+    def test_int_keys_roundtrip(self):
+        from vigil_ray.stages.corpus import vbloom_build, vbloom_mask
+
+        import pyarrow as pa
+
+        bits = vbloom_build(_ds([{"id": i} for i in range(100)]), "id", m_bits=1 << 13)
+        mask = vbloom_mask(pa.array(list(range(200)), pa.int64()), bits, 1 << 13)
+        assert mask[:100].all()
+        assert mask[100:].sum() < 15
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestGroupQuantileFilter:
     def test_matches_quantile_disc(self):
         import duckdb

@@ -651,6 +651,53 @@ def hash_split(
 _BLOOM_K = 4
 
 
+def _vbloom_hashes(col) -> "tuple":
+    """Two independent vectorized 64-bit hashes of an Arrow column (polars
+    xxhash under two seeds); Kirsch-Mitzenmacher double hashing derives the
+    K probe positions as ``h1 + i*h2`` (uint64 wraparound is deterministic
+    on both the build and probe side)."""
+    import polars as pl
+
+    s = pl.from_arrow(col if not isinstance(col, pa.Table) else col)
+    if isinstance(s, pl.DataFrame):  # from_arrow(Table) → DataFrame
+        s = s.to_series(0)
+    return s.hash(seed=11).to_numpy(), s.hash(seed=23).to_numpy()
+
+
+def vbloom_build(keys_ds, key_col: str, m_bits: int = 1 << 20) -> np.ndarray:
+    """Vectorized distributed Bloom build (same OR-reduce shape as
+    :func:`bloom_build`, but numpy per batch — no per-row Python)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        if batch.num_rows:
+            h1, h2 = _vbloom_hashes(batch.column(key_col))
+            for i in range(_BLOOM_K):
+                p = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(
+                    np.int64
+                )
+                np.bitwise_or.at(
+                    bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in keys_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return bitmap
+
+
+def vbloom_mask(col, bits: np.ndarray, m_bits: int) -> np.ndarray:
+    """Vectorized membership probe: bool mask of rows whose all-K bits are
+    set (bloom-positive; no false negatives)."""
+    h1, h2 = _vbloom_hashes(col)
+    keep = np.ones(len(h1), dtype=bool)
+    for i in range(_BLOOM_K):
+        p = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        keep &= (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+    return keep
+
+
 def _bloom_positions(key: int, m_bits: int) -> List[int]:
     h = hashlib.md5(str(key).encode()).digest()
     return [
