@@ -1210,23 +1210,35 @@ def q_eval_boolean_labels(sf_dir: str):
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER join: orders-per-customer with zero-order customers kept
     (null → 0). Scale shape: pre-aggregate the fact table to (custkey,
-    count) FIRST (partial combine — the shuffle carries one row per
-    customer, not one per order), then a key-key left join."""
+    count) FIRST (map-side partial combine — the shuffle carries one row
+    per customer, not one per order), then attach counts to the customer
+    stream via a LEFT ``sorted_lookup_join`` (stages/sortmerge.py) — a
+    native sort of two key-key streams instead of a hash join's ~3 s of
+    shuffle-pool machinery (BASELINE.md)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.sortmerge import sorted_lookup_join
 
     cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    from vigil_ray.stages.blocks import compact_blocks
 
-    ocounts = compact_blocks(
-        orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    def as_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    ocounts = (
+        orders.groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(as_cust, batch_format="pyarrow")
     )
-    joined = cust.join(
-        ocounts, "left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("o_custkey",),
+    joined = sorted_lookup_join(
+        cust, ocounts, ["c_custkey"], ["n_orders"], how="left"
     )
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -1257,15 +1269,19 @@ def q_customers_no_urgent_orders(sf_dir: str):
         return batch.filter(mask).select(["o_custkey"])
 
     urgent = orders.map_batches(urgent_only, batch_format="pyarrow")
-    from vigil_ray.stages.blocks import compact_blocks
+    from vigil_ray.stages.sortmerge import sorted_lookup_join
 
-    ucounts = compact_blocks(
-        urgent.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    def as_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": batch.column("o_custkey"), "n": batch.column("n")}
+        )
+
+    ucounts = (
+        urgent.groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(as_cust, batch_format="pyarrow")
     )
-    joined = cust.join(
-        ucounts, "left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("o_custkey",),
-    )
+    joined = sorted_lookup_join(cust, ucounts, ["c_custkey"], ["n"], how="left")
 
     def only_missing(batch: pa.Table) -> pa.Table:
         mask = pc.is_null(batch.column("n"))

@@ -42,6 +42,44 @@ def compact_blocks(ds):
     return out
 
 
+def coalesce_blocks(ds, target_bytes: int = 64 << 20, min_blocks: int | None = None):
+    """Materialize ``ds`` and repartition DOWN to ~``target_bytes`` blocks
+    when the current layout is much finer. A Ray ``sort`` keys its sample +
+    range-partition fan-out on the INPUT block count, so feeding it hundreds
+    of KB-sized blocks (the shape every filter/union/aggregate chain leaves
+    behind at test scale) costs seconds of pure scheduling — measured: a
+    65k-row sort is 0.09 s at 8 blocks, 2.8 s at 256. At real scale blocks
+    are already ≥ target size and this is metadata-only (no repartition).
+    Decision uses block metadata; only a materialized concat-split moves.
+
+    ``min_blocks`` floors the result so downstream per-block passes stay
+    parallel — default = the session's CPU count (coalescing a stage whose
+    per-block work is heavy to fewer blocks than workers trades scheduling
+    seconds for an idle cluster; measured: simhash pair-gen 4.6 s at ~200
+    blocks → 82 s at 4)."""
+    from ray.data.dataset import MaterializedDataset
+
+    if min_blocks is None:
+        import ray
+
+        min_blocks = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    bundle = mat._plan._snapshot_bundle
+    if bundle is None:
+        mat = mat.materialize()
+        bundle = mat._plan._snapshot_bundle
+    n_blocks = len(bundle.block_refs)
+    total = sum((m.size_bytes or 0) for m in bundle.metadata)
+    want = int(min(n_blocks, max(min_blocks, -(-total // target_bytes))))
+    if want <= n_blocks // 2:
+        return mat.repartition(want)
+    return mat
+
+
 def safe_join(left, right, join_type, *, num_partitions, on, right_on=None):
     """``Dataset.join`` with BOTH inputs compacted first.
 

@@ -194,7 +194,9 @@ def sorted_group_min(
     # compact: a sort leaves empty blocks that map_batches passes through as
     # zero-column join poison downstream (blocks.py); dropping them here is
     # free (the sort already materialized)
-    ds_sorted = compact_blocks(rows_ds.sort(all_cols, descending=desc))
+    from vigil_ray.stages.blocks import coalesce_blocks
+
+    ds_sorted = compact_blocks(coalesce_blocks(rows_ds).sort(all_cols, descending=desc))
 
     from vigil_ray.stages.runs import run_starts as _run_starts_impl
 
@@ -283,7 +285,9 @@ def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
     key_cols = list(key_cols)
     sum_cols = list(sum_cols)
     all_cols = key_cols + sum_cols
-    ds_sorted = compact_blocks(rows_ds.sort(key_cols))  # see sorted_group_min
+    from vigil_ray.stages.blocks import coalesce_blocks
+
+    ds_sorted = compact_blocks(coalesce_blocks(rows_ds).sort(key_cols))  # see sorted_group_min
 
     def _run_sums(batch: pa.Table):
         starts = _run_starts_impl(batch, key_cols)
@@ -403,7 +407,9 @@ def prefix_scan(
     # compact: drop the sort's empty blocks so neither pass sees
     # zero-column passthrough blocks (blocks.py) — layout stays pinned for
     # both passes (compaction happens once, before either map)
-    ds = compact_blocks(ds.sort(list(sort_cols)))
+    from vigil_ray.stages.blocks import coalesce_blocks
+
+    ds = compact_blocks(coalesce_blocks(ds).sort(list(sort_cols)))
 
     def _np(col) -> np.ndarray:
         return col.combine_chunks().to_numpy(zero_copy_only=False)
@@ -739,22 +745,18 @@ def bloom_anti_join(
     bloom-positive sliver (true members + ~(1-e^{-kn/m})^k false positives)
     pays the exact ``left_anti`` hash join against the blocklist Dataset.
     With a 1% FP rate, 99% of a clean corpus never enters the join exchange.
+    Build and probe are vectorized (:func:`vbloom_build` / :func:`vbloom_mask`
+    — polars xxhash + numpy bitmap ops, no per-row Python on the corpus).
     """
     import ray
 
-    bitmap = bloom_build(keys_ds, blocklist_col, m_bits)
+    bitmap = vbloom_build(keys_ds, blocklist_col, m_bits)
     bref = ray.put(bitmap)
 
     def flag(batch: pa.Table) -> pa.Table:
-        bits = ray.get(bref)
-        hit = []
-        for v in batch.column(key_col).to_pylist():
-            hit.append(
-                all(
-                    bits[p >> 3] & (1 << (p & 7))
-                    for p in _bloom_positions(v, m_bits)
-                )
-            )
+        if not batch.num_rows:
+            return batch.append_column("_bloom_hit", pa.array([], pa.bool_()))
+        hit = vbloom_mask(batch.column(key_col), ray.get(bref), m_bits)
         return batch.append_column("_bloom_hit", pa.array(hit, pa.bool_()))
 
     def _take(want: bool):

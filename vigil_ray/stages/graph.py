@@ -96,12 +96,12 @@ def connected_components(
             {"node": batch.column("dst"), "component": batch.column("component")}
         )
 
+    from vigil_ray.stages.sortmerge import sorted_lookup_join
+
     for _ in range(max_iters):
         lab_src = labels.rename_columns({"node": "src"})
         msgs = (
-            edges.join(
-                lab_src, join_type="inner", num_partitions=num_partitions, on=("src",)
-            )
+            sorted_lookup_join(edges, lab_src, ["src"], ["component"])
             .map_batches(_msg, batch_format="pyarrow")
             .union(labels)
         )
@@ -129,19 +129,24 @@ def canonical_docs(
     ``score_col`` (ties → smallest id); docs in no cluster are kept as-is.
     Returns a Dataset with the single column ``id_col``.
 
-    Scale shape: the docs side streams — cluster members are extracted with
-    a hash join against the (small relative to corpus) component table, and
-    the untouched majority passes through ``bloom_anti_join`` (bitmap
-    broadcast once, no shuffle for bloom-negative rows). ``score_col`` must
-    be numeric (the per-cluster argmax runs descending on it).
+    Scale shape: the docs side streams — cluster members pull their score
+    through a ``sorted_lookup_join`` against the docs stream (the docs side
+    carries only (id, score); no hash-join shuffle-pool machinery), and the
+    untouched majority passes through ``bloom_anti_join`` (bitmap broadcast
+    once, no shuffle for bloom-negative rows). ``score_col`` must be
+    numeric (the per-cluster argmax runs descending on it).
     """
     from vigil_ray.stages.corpus import bloom_anti_join, sorted_group_min
+    from vigil_ray.stages.sortmerge import sorted_lookup_join
 
     docs = docs_ds.materialize()  # consumed by both the join and the anti-join
 
-    members = compact_blocks(
-        components_ds.rename_columns({"node": id_col})
-    ).join(docs, join_type="inner", num_partitions=num_partitions, on=(id_col,))
+    members = sorted_lookup_join(
+        components_ds.rename_columns({"node": id_col}),
+        docs,
+        [id_col],
+        [score_col],
+    )
     winners = sorted_group_min(
         members,
         ["component"],

@@ -167,7 +167,9 @@ def corpus_bigram_ppl(ds, id_col: str = "doc_id", text_col: str = "text"):
     combined = rows.map_batches(tag_rows, batch_format="pyarrow").union(
         uni.map_batches(tag_uni, batch_format="pyarrow")
     )
-    merged = compact_blocks(combined.sort(["w1", "src", "w2"]))
+    from vigil_ray.stages.blocks import coalesce_blocks
+
+    merged = compact_blocks(coalesce_blocks(combined).sort(["w1", "src", "w2"]))
 
     # --- phase A: ≤4 boundary rows per block ------------------------------
     def _empty_boundary() -> pa.Table:
@@ -331,7 +333,7 @@ def bigram_pmi_topk(
     (pmi_micro desc, w1, w2)."""
     import pyarrow.compute as pc
 
-    from vigil_ray.stages.blocks import compact_blocks, safe_join
+    from vigil_ray.stages.blocks import compact_blocks
     from vigil_ray.stages.corpus import sorted_group_sum
 
     rows = _doc_bigram_rows(ds, "doc_id", text_col)
@@ -348,19 +350,18 @@ def bigram_pmi_topk(
     t_uni = int(uni.sum("n1"))
 
     frequent = bi.filter(expr=f"n12 >= {min_count}")
-    # every table here is vocabulary-scale — safe_join's compaction is cheap
-    # and required: chained joins emit 0-row blocks for empty partitions,
-    # which break the next join's schema broadcast (blocks.py)
-    j = safe_join(
-        frequent, uni, "inner", num_partitions=_join_partitions(), on=("w1",)
-    )
+    # unigram tables are unique-key lookups — attach n1/n2 with two
+    # sort-merge lookup joins (stages/sortmerge.py) instead of hash joins:
+    # every table here is vocabulary-scale, and the sort path skips the
+    # per-join shuffle-pool machinery (~3 s each at sf0.1, BASELINE.md)
+    from vigil_ray.stages.sortmerge import sorted_lookup_join
+
+    j = sorted_lookup_join(frequent, uni, ["w1"], ["n1"])
     uni2 = uni.map_batches(
         lambda b: pa.table({"w2": b.column("w1"), "n2": b.column("n1")}),
         batch_format="pyarrow",
     )
-    j = safe_join(
-        j, uni2, "inner", num_partitions=_join_partitions(), on=("w2",)
-    )
+    j = sorted_lookup_join(j, uni2, ["w2"], ["n2"])
 
     def score(batch: pa.Table) -> pa.Table:
         n12 = batch.column("n12").combine_chunks().to_numpy(zero_copy_only=False)

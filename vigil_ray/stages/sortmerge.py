@@ -34,7 +34,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
-from vigil_ray.stages.blocks import compact_blocks
+from vigil_ray.stages.blocks import coalesce_blocks, compact_blocks
 from vigil_ray.stages.runs import np_col, run_starts
 
 
@@ -62,7 +62,9 @@ def sorted_attach(
     if not sum_cols and count_name is None:
         raise ValueError("nothing to attach")
 
-    ds_sorted = compact_blocks(rows_ds.sort(key_cols))
+    # coalesce first: Ray sort fan-out is keyed on input block count, and a
+    # fine-block layout (filter/union debris) costs seconds of scheduling
+    ds_sorted = compact_blocks(coalesce_blocks(rows_ds).sort(key_cols))
 
     def _partials(batch: pa.Table):
         starts = run_starts(batch, key_cols)
@@ -189,8 +191,17 @@ def sorted_lookup_join(
             cols[c] = batch.column(c)
         return pa.table({c: cols[c] for c in order})
 
-    combined = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
-        lookup_ds.map_batches(tag_lookup, batch_format="pyarrow")
+    # coalesce BOTH inputs first (not just the union): Ray sort fan-out and
+    # per-task scheduling are keyed on block count, and fine-block layouts
+    # (filter/union debris) cost seconds of pure scheduling
+    combined = (
+        coalesce_blocks(rows_ds)
+        .map_batches(tag_rows, batch_format="pyarrow")
+        .union(
+            coalesce_blocks(lookup_ds).map_batches(
+                tag_lookup, batch_format="pyarrow"
+            )
+        )
     )
     merged = compact_blocks(combined.sort(key_cols + ["__src"]))
 
