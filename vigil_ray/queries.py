@@ -1211,34 +1211,29 @@ def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER join: orders-per-customer with zero-order customers kept
     (null → 0). Scale shape: pre-aggregate the fact table to (custkey,
     count) FIRST (map-side partial combine — the shuffle carries one row
-    per customer, not one per order), then attach counts to the customer
-    stream via a LEFT ``sorted_lookup_join`` (stages/sortmerge.py) — a
-    native sort of two key-key streams instead of a hash join's ~3 s of
-    shuffle-pool machinery (BASELINE.md)."""
+    per customer, not one per order), then a key-key left hash join.
+
+    Measured note (this host, sf0.1): the ``sorted_lookup_join`` form was
+    tried and is SLOWER here (5.6-7.4 s vs 3.2-3.3 s engine-only, repeated
+    A/B) — its two coalesce materialize passes dominate when both inputs
+    are already tiny key-key tables and the hash join is a single exchange.
+    The sort path wins only where the join machinery itself was the
+    bottleneck (PMI / components / canonical — see stages/sortmerge.py)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
     from vigil_ray.sources.readers import read_table
-    from vigil_ray.stages.sortmerge import sorted_lookup_join
+    from vigil_ray.stages.blocks import compact_blocks
 
     cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
-    def as_cust(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": batch.column("o_custkey"),
-                "n_orders": batch.column("n_orders"),
-            }
-        )
-
-    ocounts = (
-        orders.groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-        .map_batches(as_cust, batch_format="pyarrow")
+    ocounts = compact_blocks(
+        orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
     )
-    joined = sorted_lookup_join(
-        cust, ocounts, ["c_custkey"], ["n_orders"], how="left"
+    joined = cust.join(
+        ocounts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
     )
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -1269,19 +1264,17 @@ def q_customers_no_urgent_orders(sf_dir: str):
         return batch.filter(mask).select(["o_custkey"])
 
     urgent = orders.map_batches(urgent_only, batch_format="pyarrow")
-    from vigil_ray.stages.sortmerge import sorted_lookup_join
+    from vigil_ray.stages.blocks import compact_blocks
 
-    def as_cust(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"c_custkey": batch.column("o_custkey"), "n": batch.column("n")}
-        )
-
-    ucounts = (
-        urgent.groupby("o_custkey")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(as_cust, batch_format="pyarrow")
+    # hash join, not sorted_lookup_join: see q_customer_order_counts —
+    # both inputs are tiny key-key tables and the hash exchange wins the A/B
+    ucounts = compact_blocks(
+        urgent.groupby("o_custkey").aggregate(Count(alias_name="n"))
     )
-    joined = sorted_lookup_join(cust, ucounts, ["c_custkey"], ["n"], how="left")
+    joined = cust.join(
+        ucounts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
 
     def only_missing(batch: pa.Table) -> pa.Table:
         mask = pc.is_null(batch.column("n"))
