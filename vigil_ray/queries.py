@@ -846,6 +846,157 @@ def q_events_asof_join(sf_dir: str):
     return per_user.map_batches(match, batch_format="pyarrow")
 
 
+def q_events_window_join(sf_dir: str):
+    """Windowed stream-stream self-join (interval join): for EACH purchase,
+    the number of clicks by the same user in the preceding hour
+    ``[ts - 1h, ts)``. The third join flavor over event time alongside the
+    as-of join (latest-before match) and the range join (static intervals).
+
+    Ray shape: same collect-list discipline as :func:`q_events_asof_join` —
+    (ts, is_purchase, event_id) triples per user via ``AggregateFn`` (no
+    per-group UDF dispatch), then TWO vectorized ``np.searchsorted`` calls
+    per user give the half-open interval count for every purchase at once:
+    ``count = ss(clicks, t, 'left') - ss(clicks, t - W, 'left')``. Per-key
+    state is bounded by one user's history. Purchases with zero preceding
+    clicks are KEPT (n = 0) so the output is one row per purchase."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.sources.readers import read_table
+
+    window_us = 3_600_000_000  # 1 hour
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    ds = ds.filter(expr="event_type == 'click' or event_type == 'purchase'")
+
+    def _triples(block) -> list:
+        if isinstance(block, pa.Table):
+            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
+            return list(
+                zip(
+                    ts.to_pylist(),
+                    [int(t == "purchase") for t in block.column("event_type").to_pylist()],
+                    block.column("event_id").to_pylist(),
+                )
+            )
+        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
+        return list(
+            zip(
+                ts.to_pylist(),
+                [int(t == "purchase") for t in list(block["event_type"])],
+                list(block["event_id"]),
+            )
+        )
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda left, right: left + right,
+        name="evs",
+        accumulate_block=lambda acc, block: acc + _triples(block),
+    )
+    per_user = ds.groupby("user_id").aggregate(collect)
+
+    def count_window(batch: pa.Table) -> pa.Table:
+        out_ids: list = []
+        out_n: list = []
+        for evs in batch.column("evs").to_pylist():
+            trip = [tuple(e) for e in evs]
+            buys = [(t, eid) for t, isp, eid in trip if isp]
+            if not buys:
+                continue
+            click_ts = np.sort(
+                np.array([t for t, isp, _ in trip if not isp], dtype=np.int64)
+            )
+            buy_ts = np.array([t for t, _ in buys], dtype=np.int64)
+            hi = np.searchsorted(click_ts, buy_ts, side="left")
+            lo = np.searchsorted(click_ts, buy_ts - window_us, side="left")
+            out_ids.extend(eid for _, eid in buys)
+            out_n.extend((hi - lo).tolist())
+        return pa.table(
+            {
+                "event_id": pa.array(out_ids, pa.int64()),
+                "n_clicks_1h": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(count_window, batch_format="pyarrow")
+
+
+def q_events_threshold_sweep(sf_dir: str):
+    """Classifier threshold sweep (PR/ROC-curve points) in ONE distributed
+    pass: exact confusion counts (tp, fp, fn, tn) at K fixed thresholds of a
+    score column, without K scans. Treats ``value >= thr`` as predicting
+    ``event_type = 'purchase'``.
+
+    Ray shape: each block sorts its scores per label once and answers all K
+    thresholds with one ``np.searchsorted`` per label (count of scores >= t
+    = n - ss(sorted, t, 'left')); blocks emit K tiny partial rows, a K-group
+    sum-reduce merges them, and the confusion completes from per-label
+    totals. Shuffle volume = K rows per block regardless of data size."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    thresholds = np.array(
+        [0.0, 10.0, 20.0, 50.0, 100.0, 200.0, 300.0, 400.0, 500.0]
+    )
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        y = np.array(
+            [t == "purchase" for t in batch.column("event_type").to_pylist()],
+            dtype=bool,
+        )
+        vp = np.sort(v[y])
+        vn = np.sort(v[~y])
+        tp = len(vp) - np.searchsorted(vp, thresholds, side="left")
+        fp = len(vn) - np.searchsorted(vn, thresholds, side="left")
+        k = len(thresholds)
+        return pa.table(
+            {
+                "thr": pa.array(thresholds, pa.float64()),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "pos": pa.array([int(y.sum())] * k, pa.int64()),
+                "neg": pa.array([int((~y).sum())] * k, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("thr")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("pos", alias_name="pos"),
+            Sum("neg", alias_name="neg"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tp = batch.column("tp")
+        fp = batch.column("fp")
+        return pa.table(
+            {
+                "thr": batch.column("thr"),
+                "tp": tp,
+                "fp": fp,
+                "fn": pc.subtract(batch.column("pos"), tp),
+                "tn": pc.subtract(batch.column("neg"), fp),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_cumulative(sf_dir: str):
     """Ordered per-key window analytic: each event's running index within its
     user's history (SQL ``row_number() OVER (PARTITION BY user ORDER BY ts,
@@ -2449,6 +2600,8 @@ def queries() -> Dict[str, Callable]:
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
         "events_asof_join": q_events_asof_join,
+        "events_window_join": q_events_window_join,
+        "events_threshold_sweep": q_events_threshold_sweep,
         "top3_docs_per_lang": q_top3_docs_per_lang,
         "doc_length_quantiles": q_doc_length_quantiles,
         "distinct_langs": q_distinct_langs,
@@ -2797,6 +2950,27 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "FROM events p JOIN events c "
             "ON p.user_id = c.user_id AND c.ts <= p.ts AND c.event_type = 'click' "
             "WHERE p.event_type = 'purchase' GROUP BY p.event_id"
+        ),
+        "events_window_join": (
+            "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h "
+            "FROM events p LEFT JOIN events c "
+            "ON c.user_id = p.user_id AND c.event_type = 'click' "
+            "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts "
+            "WHERE p.event_type = 'purchase' GROUP BY p.event_id"
+        ),
+        "events_threshold_sweep": (
+            "WITH th(thr) AS (VALUES (0.0), (10.0), (20.0), (50.0), (100.0), "
+            "  (200.0), (300.0), (400.0), (500.0)) "
+            "SELECT CAST(thr AS DOUBLE) AS thr, "
+            "CAST(sum(CASE WHEN value >= thr AND event_type = 'purchase' "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+            "CAST(sum(CASE WHEN value >= thr AND event_type <> 'purchase' "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+            "CAST(sum(CASE WHEN value < thr AND event_type = 'purchase' "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+            "CAST(sum(CASE WHEN value < thr AND event_type <> 'purchase' "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS tn "
+            "FROM th CROSS JOIN events GROUP BY thr"
         ),
         "top3_docs_per_lang": (
             "SELECT lang, doc_id, n_chars FROM ( "
