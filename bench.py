@@ -145,6 +145,22 @@ def run_bench() -> dict:
     timings["quality_filter_full"] = round(headline, 3)
 
     # --- secondary pipelines over the driver's sf tables -------------------
+    # GRAFT_SECONDARIES=0 skips them (scaling legs: only the headline enters
+    # the efficiency ratio, and a leg that also runs 21 secondaries perturbs
+    # its sibling leg's quiet window for no signal)
+    if os.environ.get("GRAFT_SECONDARIES", "1") == "0":
+        ray.shutdown()
+        return {
+            "metric": "flagship quality-filter wall time (read→extract→quality→detect→scrub→write)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "headline_runs": [round(r, 3) for r in runs],
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1),
+        }
     secondary = [
         "dedup_exact",
         "dedup_minhash_pairs",
@@ -194,9 +210,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        # single-rep headline inside the scaling legs: keeps leg wall time
-        # and comparability with the recorded BASELINE.md scaling table
+        # single-rep headline inside the scaling legs; legs default to
+        # headline-only (secondaries never enter the ratio) over 1.2M docs —
+        # at 600k the ~10 s of fixed per-job overhead (session ramp, actor
+        # spawn, write finalize; constant in BOTH legs) dominates the short
+        # leg and reads as false serialization (BASELINE.md, readings 15-16)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_REPS="1")
+        env.setdefault("GRAFT_SECONDARIES", "0")
+        env.setdefault("GRAFT_MULTIPLIER", "240")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -63,3 +63,125 @@ class TestSkewJoin:
         out = skew_join(fact, dim, "k", "dk", top_k=2).to_pandas()
         # key 42 is hot but has no dimension row -> inner join drops it
         assert set(out["k"]) == {7} and len(out) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBroadcastJoin:
+    def _sides(self):
+        import ray.data as rd
+
+        left = rd.from_items(
+            [{"k": i % 12, "x": i} for i in range(100)]
+        ).repartition(5)
+        # keys 0..7 present in the dimension; 8..11 unmatched
+        right = rd.from_items(
+            [{"rk": j, "label": f"d{j}", "w": j * 10} for j in range(8)]
+        ).repartition(3)
+        return left, right
+
+    def _expect(self, how):
+        left = pd.DataFrame([{"k": i % 12, "x": i} for i in range(100)])
+        right = pd.DataFrame(
+            [{"rk": j, "label": f"d{j}", "w": j * 10} for j in range(8)]
+        )
+        return (
+            left.merge(
+                right,
+                left_on="k",
+                right_on="rk",
+                how="inner" if how == "inner" else "left",
+            )
+            .drop(columns=["rk"])
+            .sort_values(["k", "x"])
+            .reset_index(drop=True)
+        )
+
+    def test_inner(self):
+        from vigil_ray.stages.joins import broadcast_join
+
+        left, right = self._sides()
+        out = (
+            broadcast_join(left, right, key="k", right_key="rk", how="inner")
+            .to_pandas()
+            .sort_values(["k", "x"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, self._expect("inner"), check_dtype=False)
+
+    def test_left_outer_keeps_unmatched_with_nulls(self):
+        from vigil_ray.stages.joins import broadcast_join
+
+        left, right = self._sides()
+        out = (
+            broadcast_join(left, right, key="k", right_key="rk", how="left_outer")
+            .to_pandas()
+            .sort_values(["k", "x"])
+            .reset_index(drop=True)
+        )
+        expect = self._expect("left")
+        assert len(out) == 100
+        assert out.loc[out["k"] >= 8, "label"].isna().all()
+        pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+    def test_size_gate_falls_back_to_hash_join(self):
+        from vigil_ray.stages.joins import broadcast_join
+
+        left, right = self._sides()
+        out = (
+            broadcast_join(
+                left, right, key="k", right_key="rk", how="inner",
+                max_broadcast_rows=2,
+            )
+            .to_pandas()
+            .sort_values(["k", "x"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[self._expect("inner").columns],
+            self._expect("inner"),
+            check_dtype=False,
+        )
+
+    def test_duplicate_right_keys_raise(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.joins import broadcast_join
+
+        left = rd.from_items([{"k": 1, "x": 0}])
+        right = rd.from_items([{"rk": 1, "v": 1}, {"rk": 1, "v": 2}])
+        with pytest.raises(ValueError, match="duplicate"):
+            broadcast_join(left, right, key="k", right_key="rk")
+
+    def test_empty_right_side(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vigil_ray.stages.joins import broadcast_join
+
+        left, _ = self._sides()
+        # 0-row but schema-bearing (the realistic aggregate-derived empty);
+        # a filter-derived all-empty side loses its schema entirely (the
+        # repo-wide Ray 2.49 empty-block gap, stages/blocks.py) and raises
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "rk": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.string()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        )
+        inner = broadcast_join(left, empty, key="k", right_key="rk").to_pandas()
+        assert len(inner) == 0
+        outer = broadcast_join(
+            left, empty, key="k", right_key="rk", how="left_outer"
+        ).to_pandas()
+        assert len(outer) == 100 and outer["label"].isna().all()
+
+    def test_schemaless_empty_right_raises(self):
+        from vigil_ray.stages.joins import broadcast_join
+
+        left, right = self._sides()
+        schemaless = right.filter(lambda r: r["rk"] > 1000)
+        with pytest.raises(ValueError, match="no schema-bearing blocks"):
+            broadcast_join(left, schemaless, key="k", right_key="rk")

@@ -1369,22 +1369,37 @@ def q_customer_order_counts(sf_dir: str):
     A/B) — its two coalesce materialize passes dominate when both inputs
     are already tiny key-key tables and the hash join is a single exchange.
     The sort path wins only where the join machinery itself was the
-    bottleneck (PMI / components / canonical — see stages/sortmerge.py)."""
+    bottleneck (PMI / components / canonical — see stages/sortmerge.py).
+    Third form (current): the count is a ``sorted_group_sum`` of ones (the
+    sorted-adjacency groupby — no per-group aggregate machinery) and the
+    aggregated side is customer-cardinality — a dimension table — so
+    ``joins.broadcast_join`` publishes it once via ``ray.put`` and probes
+    map-side, skipping the hash join's fixed shuffle-aggregator setup
+    entirely; the size gate inside broadcast_join falls back to the hash
+    join when the side outgrows driver memory. Measured A/B (sf0.1, warm):
+    groupby-Count + broadcast 2.8-3.2 s vs this form 0.35-0.39 s."""
+    import numpy as np
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     from vigil_ray.sources.readers import read_table
-    from vigil_ray.stages.blocks import compact_blocks
+    from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.joins import broadcast_join
 
     cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
-    ocounts = compact_blocks(
-        orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_orders", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+
+    ocounts = sorted_group_sum(
+        orders.map_batches(ones, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["n_orders"],
     )
-    joined = cust.join(
-        ocounts, "left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("o_custkey",),
+    joined = broadcast_join(
+        cust, ocounts, key="c_custkey", right_key="o_custkey", how="left_outer"
     )
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -1401,7 +1416,6 @@ def q_customers_no_urgent_orders(sf_dir: str):
     this generator's data; the priority predicate makes the result
     non-trivial at every sf.)"""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     from vigil_ray.sources.readers import read_table
 
@@ -1415,16 +1429,24 @@ def q_customers_no_urgent_orders(sf_dir: str):
         return batch.filter(mask).select(["o_custkey"])
 
     urgent = orders.map_batches(urgent_only, batch_format="pyarrow")
-    from vigil_ray.stages.blocks import compact_blocks
+    import numpy as np
 
-    # hash join, not sorted_lookup_join: see q_customer_order_counts —
-    # both inputs are tiny key-key tables and the hash exchange wins the A/B
-    ucounts = compact_blocks(
-        urgent.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.joins import broadcast_join
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+
+    # sorted-adjacency count + size-gated broadcast join (see
+    # q_customer_order_counts for the measured A/B); the gate falls back to
+    # the hash exchange when the aggregated side outgrows driver memory
+    ucounts = sorted_group_sum(
+        urgent.map_batches(ones, batch_format="pyarrow"), ["o_custkey"], ["n"]
     )
-    joined = cust.join(
-        ucounts, "left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("o_custkey",),
+    joined = broadcast_join(
+        cust, ucounts, key="c_custkey", right_key="o_custkey", how="left_outer"
     )
 
     def only_missing(batch: pa.Table) -> pa.Table:

@@ -136,3 +136,95 @@ def skew_join(
     return hot_joined.select_columns(out_cols).union(
         cold_joined.select_columns(out_cols)
     )
+
+
+def broadcast_join(
+    left,
+    right,
+    key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    max_broadcast_rows: int = 2_000_000,
+):
+    """Key-key join where ``right`` is KNOWN SMALL: the whole right side is
+    materialized once, sorted by key, published to the object store with one
+    ``ray.put``, and probed map-side inside ``map_batches`` with a vectorized
+    ``np.searchsorted`` — zero shuffle, zero join-aggregator machinery.
+
+    This is the "broadcast small sides" pattern: a Ray ``Dataset.join`` pays
+    a fixed ~seconds of hash-shuffle aggregator setup per join regardless of
+    data size (measured on this host — BASELINE.md), which dominates when
+    both inputs are dimension-sized. The broadcast form is O(|right|) driver
+    memory, so it is gated: if ``right`` exceeds ``max_broadcast_rows`` the
+    call falls back to the ordinary partitioned hash join (``safe_join``) —
+    at 10^12-row scale the gate, not the pattern, is what makes this safe.
+
+    ``right`` keys must be unique (it is the dimension side of a key-key
+    join); duplicate keys raise. ``how`` is ``"inner"`` or ``"left_outer"``
+    (unmatched left rows keep nulls in the attached columns).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from vigil_ray.stages.blocks import safe_join
+
+    right_key = right_key or key
+    mat = right.materialize()
+    n_right = mat.count()
+    if n_right > max_broadcast_rows:
+        return safe_join(
+            left, right, how, num_partitions=8, on=(key,), right_on=(right_key,)
+        )
+
+    refs = mat.to_arrow_refs()
+    # keep 0-row blocks: an all-empty right side has Dataset schema None
+    # (the known Ray 2.49 empty-materialize gap) but its Arrow blocks still
+    # carry the schema the typed null columns need
+    tables = [t for t in ray.get(refs) if t.num_columns]
+    if not tables:
+        raise ValueError(
+            "broadcast_join: right side has no schema-bearing blocks; "
+            "compact or supply a non-degenerate dimension table"
+        )
+    tbl = pa.concat_tables(tables).combine_chunks()
+    if tbl.num_rows:
+        order = pc.sort_indices(tbl, sort_keys=[(right_key, "ascending")])
+        tbl = tbl.take(order)
+    keys_np = tbl.column(right_key).to_numpy(zero_copy_only=False)
+    if len(keys_np) > 1 and not (keys_np[1:] != keys_np[:-1]).all():
+        raise ValueError(
+            "broadcast_join: right side has duplicate keys in "
+            f"{right_key!r}; it must be a unique-key dimension table"
+        )
+    value_tbl = tbl.drop_columns([right_key])
+    ref = ray.put((keys_np, value_tbl))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rkeys, rvals = ray.get(ref)  # local zero-copy fetch after first call
+        lk = batch.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        if len(rkeys):
+            pos = np.searchsorted(rkeys, lk)
+            pos_c = np.minimum(pos, len(rkeys) - 1)
+            matched = rkeys[pos_c] == lk
+        else:
+            pos_c = np.zeros(len(lk), dtype=np.int64)
+            matched = np.zeros(len(lk), dtype=bool)
+        if how == "inner":
+            out = batch.filter(pa.array(matched))
+            idx = pa.array(pos_c[matched], pa.int64())
+            for name in value_tbl.column_names:
+                out = out.append_column(name, value_tbl.column(name).take(idx))
+            return out
+        # left_outer: attach values, null where unmatched
+        out = batch
+        idx = pa.array(pos_c, pa.int64())
+        m = pa.array(matched)
+        for name in value_tbl.column_names:
+            col = value_tbl.column(name)
+            taken = col.take(idx) if len(rkeys) else pa.nulls(len(lk), col.type)
+            out = out.append_column(
+                name, pc.if_else(m, taken, pa.scalar(None, col.type))
+            )
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow")
