@@ -512,6 +512,53 @@ class TestSortedGroupSum:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSortedGroupAgg:
+    def test_min_max_sum_match_pandas(self):
+        import pandas as pd
+
+        from vigil_ray.stages.corpus import sorted_group_agg
+
+        rows = [
+            {"k": i % 7, "v": ((i * 13) % 29) / 3.0, "one": 1}
+            for i in range(100)
+        ]
+        out = (
+            sorted_group_agg(
+                _ds(rows),
+                ["k"],
+                [("one", "sum", "n"), ("v", "min", "lo"), ("v", "max", "hi")],
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows)
+        expect = (
+            df.groupby("k")
+            .agg(n=("one", "sum"), lo=("v", "min"), hi=("v", "max"))
+            .reset_index()
+        )
+        pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+    def test_boundary_runs_merge_min_max(self):
+        # one key spans every block: the driver merge must combine the
+        # deferred first/last-run partials with min/max, not sum
+        from vigil_ray.stages.corpus import sorted_group_agg
+
+        rows = [{"k": "only", "v": float(i)} for i in range(60)]
+        out = sorted_group_agg(
+            _ds(rows), ["k"], [("v", "min", "lo"), ("v", "max", "hi")]
+        ).to_pandas()
+        assert out.to_dict("records") == [{"k": "only", "lo": 0.0, "hi": 59.0}]
+
+    def test_unknown_op_raises(self):
+        from vigil_ray.stages.corpus import sorted_group_agg
+
+        with pytest.raises(ValueError, match="unknown op"):
+            sorted_group_agg(_ds([{"k": 1, "v": 1}]), ["k"], [("v", "avg", "a")])
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestContamination:
     def test_flags_shared_ngram_only(self):
         from vigil_ray.stages.corpus import contamination_flags

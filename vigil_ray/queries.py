@@ -153,12 +153,21 @@ def q_top10_longest_docs(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling 1-hour window per event_type (streaming-shaped op as
-    groupby over a derived window key; SURVEY.md §2.8)."""
+    """Tumbling 1-hour window per event_type (streaming-shaped op as a
+    grouped reduction over a derived window key; SURVEY.md §2.8).
+
+    Runs on ``corpus.sorted_group_agg`` (sort + vectorized per-run reduceat
+    + driver boundary merge) rather than a hash ``groupby().aggregate`` —
+    the window key space is bounded (hours × event types), so the sort sees
+    one row per event but skips the per-group aggregate machinery; min/max
+    merges are order-independent, so float values stay exact. Keys keep the
+    µs timestamp unit natively (the hash-groupby path degraded them to
+    seconds and needed a cast back)."""
+    import numpy as np
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min, Max
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import sorted_group_agg
 
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
@@ -166,25 +175,17 @@ def q_events_hourly(sf_dir: str):
         win = pc.cast(
             pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")
         )
-        return batch.append_column("window_start", win)
+        out = batch.append_column("window_start", win)
+        return out.append_column(
+            "n", pa.array(np.ones(batch.num_rows, np.int64))
+        ).drop_columns(["ts"])
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
-    agg = ds.groupby(["event_type", "window_start"]).aggregate(
-        Count(alias_name="n"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    return sorted_group_agg(
+        ds,
+        ["event_type", "window_start"],
+        [("n", "sum", "n"), ("value", "min", "min_value"), ("value", "max", "max_value")],
     )
-
-    def to_us(batch: pa.Table) -> pa.Table:
-        # the groupby key comes back timestamp[s]; emit µs to match the
-        # events table's native unit (and the oracle's date_trunc output)
-        i = batch.column_names.index("window_start")
-        return batch.set_column(
-            i, "window_start",
-            pc.cast(batch.column("window_start"), pa.timestamp("us")),
-        )
-
-    return agg.map_batches(to_us, batch_format="pyarrow")
 
 
 def q_events_user_stats(sf_dir: str):

@@ -267,43 +267,63 @@ def sorted_group_min(
 
 def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
     """One row per distinct key with the int64 SUM of each ``sum_cols`` —
-    the groupby-sum primitive on the sorted-adjacency shape (see
-    :func:`sorted_group_min`): a native sort + vectorized per-run
-    ``np.add.reduceat`` replaces the ~25 µs/group machinery of a hash
-    aggregate. Interior runs are complete by construction; each block defers
-    only its FIRST and LAST run's partial sums to the driver, which adds
-    partials per key (a run spanning k blocks contributes k partials) —
-    ≤2 rows per block, never row-sized.
+    thin wrapper over :func:`sorted_group_agg` (kept for its many call
+    sites). Sums are integer-exact (int64 accumulate; callers with float
+    costs should quantize first — the int path is what a token/byte budget
+    needs)."""
+    return sorted_group_agg(rows_ds, key_cols, [(c, "sum", c) for c in sum_cols])
 
-    Sums are integer-exact (int64 accumulate; callers with float costs
-    should quantize first — the int path is what a token/byte budget needs).
+
+_AGG_REDUCE = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def sorted_group_agg(rows_ds, key_cols: Sequence[str], specs: Sequence[tuple]):
+    """One row per distinct key with per-column reductions — the groupby
+    primitive on the sorted-adjacency shape (see :func:`sorted_group_min`):
+    a native sort + vectorized per-run ``np.{add,minimum,maximum}.reduceat``
+    replaces the ~25 µs/group machinery of a hash aggregate. Interior runs
+    are complete by construction; each block defers only its FIRST and LAST
+    run's partials to the driver, which combines partials per key (a run
+    spanning k blocks contributes k partials) — ≤2 rows per block, never
+    row-sized.
+
+    ``specs`` is a sequence of ``(col, op, out_name)`` with op in
+    ``{"sum", "min", "max"}``; the same input col may appear under several
+    ops/out names. ``sum`` accumulates int64 (integer-exact — quantize float
+    costs first); ``min``/``max`` keep the column's native type (their
+    partial merge is order-independent, so floats are exact too).
     """
     import ray.data as rd
 
     from vigil_ray.stages.runs import run_starts as _run_starts_impl
 
     key_cols = list(key_cols)
-    sum_cols = list(sum_cols)
-    all_cols = key_cols + sum_cols
+    specs = [tuple(s) for s in specs]
+    for _, op, _out in specs:
+        if op not in _AGG_REDUCE:
+            raise ValueError(f"sorted_group_agg: unknown op {op!r}")
     from vigil_ray.stages.blocks import coalesce_blocks
 
     ds_sorted = compact_blocks(coalesce_blocks(rows_ds).sort(key_cols))  # see sorted_group_min
 
-    def _run_sums(batch: pa.Table):
+    def _out_type(batch: pa.Table, col: str, op: str):
+        return pa.int64() if op == "sum" else batch.column(col).type
+
+    def _run_aggs(batch: pa.Table):
         starts = _run_starts_impl(batch, key_cols)
-        sums = [
-            np.add.reduceat(
+        vals = []
+        for c, op, _out in specs:
+            arr = (
                 batch.column(c)
                 .combine_chunks()
                 .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-                starts,
             )
-            for c in sum_cols
-        ]
-        return starts, sums
+            if op == "sum":
+                arr = arr.astype(np.int64)
+            vals.append(_AGG_REDUCE[op].reduceat(arr, starts))
+        return starts, vals
 
-    def _rows(batch: pa.Table, starts, sums, idx) -> pa.Table:
+    def _rows(batch: pa.Table, starts, vals, idx) -> pa.Table:
         # keys keep the input column types (inference from .as_py() would
         # widen e.g. int32 keys to int64 and break the union's schema)
         cols = {
@@ -313,22 +333,24 @@ def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
             )
             for c in key_cols
         }
-        for j, c in enumerate(sum_cols):
-            cols[c] = pa.array([int(sums[j][i]) for i in idx], pa.int64())
+        for j, (c, op, out) in enumerate(specs):
+            cols[out] = pa.array(
+                [vals[j][i] for i in idx], _out_type(batch, c, op)
+            )
         return pa.table(cols)
 
     def _empty(batch: pa.Table) -> pa.Table:
         cols = {c: pa.array([], batch.column(c).type) for c in key_cols}
-        for c in sum_cols:
-            cols[c] = pa.array([], pa.int64())
+        for c, op, out in specs:
+            cols[out] = pa.array([], _out_type(batch, c, op))
         return pa.table(cols)
 
     def boundary_partials(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty(batch)
-        starts, sums = _run_sums(batch)
+        starts, vals = _run_aggs(batch)
         idx = [0] if len(starts) == 1 else [0, len(starts) - 1]
-        return _rows(batch, starts, sums, idx)
+        return _rows(batch, starts, vals, idx)
 
     deferred = ds_sorted.map_batches(
         boundary_partials, batch_format="pyarrow", batch_size=None
@@ -337,15 +359,24 @@ def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
     merged: dict = {}
     for r in deferred:
         k = tuple(r[c] for c in key_cols)
-        acc = merged.setdefault(k, [0] * len(sum_cols))
-        for j, c in enumerate(sum_cols):
-            acc[j] += r[c]
+        acc = merged.get(k)
+        if acc is None:
+            merged[k] = [r[out] for _, _, out in specs]
+        else:
+            for j, (_, op, out) in enumerate(specs):
+                if op == "sum":
+                    acc[j] += r[out]
+                elif op == "min":
+                    acc[j] = min(acc[j], r[out])
+                else:
+                    acc[j] = max(acc[j], r[out])
 
     schema = ds_sorted.schema()
     if schema is None or not merged:
         return rd.from_arrow(
             pa.table(
-                {c: pa.array([], pa.int64()) for c in all_cols}
+                {c: pa.array([], pa.int64()) for c in key_cols}
+                | {out: pa.array([], pa.int64()) for _, _, out in specs}
             )
         )
     types = {name: t for name, t in zip(schema.names, schema.types)}
@@ -354,19 +385,22 @@ def sorted_group_sum(rows_ds, key_cols: Sequence[str], sum_cols: Sequence[str]):
         c: pa.array([k[i] for k in keys_sorted], types[c])
         for i, c in enumerate(key_cols)
     }
-    for j, c in enumerate(sum_cols):
-        cols[c] = pa.array([merged[k][j] for k in keys_sorted], pa.int64())
+    for j, (c, op, out) in enumerate(specs):
+        cols[out] = pa.array(
+            [merged[k][j] for k in keys_sorted],
+            pa.int64() if op == "sum" else types[c],
+        )
     boundary_tbl = rd.from_arrow(pa.table(cols))
 
-    def interior_sums(batch: pa.Table) -> pa.Table:
+    def interior_aggs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty(batch)
-        starts, sums = _run_sums(batch)
+        starts, vals = _run_aggs(batch)
         idx = list(range(1, len(starts) - 1))  # first and last run deferred
-        return _rows(batch, starts, sums, idx)
+        return _rows(batch, starts, vals, idx)
 
     inner = ds_sorted.map_batches(
-        interior_sums, batch_format="pyarrow", batch_size=None
+        interior_aggs, batch_format="pyarrow", batch_size=None
     )
     return boundary_tbl.union(inner)
 
