@@ -691,3 +691,48 @@ class TestChunkDupPairs:
         # doc 3's chunk 1 also equals doc 1's chunk 1 but the (1,3) pair is
         # emitted exactly once (exact distinct)
         assert list(map(tuple, out.values.tolist())) == [(1, 2), (1, 3), (2, 3)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedPrefixScan:
+    def _check(self, rows, key_cols, order_cols, cost_col=None):
+        import pandas as pd
+
+        from vigil_ray.stages.corpus import grouped_prefix_scan
+
+        out = grouped_prefix_scan(
+            _ds(rows), key_cols, order_cols, cost_col=cost_col
+        ).to_pandas()
+        df = pd.DataFrame(rows).sort_values(key_cols + order_cols)
+        if cost_col is None:
+            expect = df.groupby(key_cols).cumcount()
+        else:
+            expect = df.groupby(key_cols)[cost_col].cumsum() - df[cost_col]
+        df["cum_excl"] = expect
+        got = out.sort_values(key_cols + order_cols).reset_index(drop=True)
+        want = df.reset_index(drop=True)[got.columns]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_row_rank_matches_pandas(self):
+        rows = [
+            {"u": i % 9, "t": (i * 7) % 50, "i": i} for i in range(120)
+        ]
+        self._check(rows, ["u"], ["t", "i"])
+
+    def test_weighted_sum_matches_pandas(self):
+        rows = [
+            {"u": i % 5, "t": i, "c": (i * 3) % 11} for i in range(80)
+        ]
+        self._check(rows, ["u"], ["t"], cost_col="c")
+
+    def test_hot_key_spanning_every_block(self):
+        # one key carries 90% of rows → spans every sorted block; the driver
+        # carry walk must thread the accumulator through consecutive blocks
+        rows = [{"u": 0, "t": i, "c": 1} for i in range(200)] + [
+            {"u": 1 + (i % 5), "t": i, "c": 1} for i in range(20)
+        ]
+        self._check(rows, ["u"], ["t"], cost_col="c")
+
+    def test_float_costs(self):
+        rows = [{"u": i % 3, "t": i, "c": i / 4.0} for i in range(60)]
+        self._check(rows, ["u"], ["t"], cost_col="c")

@@ -1001,50 +1001,31 @@ def q_events_threshold_sweep(sf_dir: str):
 def q_events_cumulative(sf_dir: str):
     """Ordered per-key window analytic: each event's running index within its
     user's history (SQL ``row_number() OVER (PARTITION BY user ORDER BY ts,
-    id)``). Ray shape: collect-list aggregate per user (same pattern as
-    sessionize — no per-group UDF dispatch), vectorized sort + explode per
-    batch of users. Ties broken by event_id, so the rank is deterministic."""
-    import numpy as np
+    id)``). Ray shape: ``corpus.grouped_prefix_scan`` — global sort by
+    (user, ts, id), per-block vectorized grouped cumsum, block-count-sized
+    driver carry walk. Unlike the earlier collect-list form, no worker ever
+    holds a whole user's history (a key spanning the corpus streams through
+    in block-sized pieces) and the per-group aggregate machinery disappears
+    (measured 2.64 s → the sort cost alone at sf0.1). Ties broken by
+    event_id, so the rank is deterministic."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_prefix_scan
 
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    scanned = grouped_prefix_scan(ds, ["user_id"], ["ts", "event_id"])
 
-    def _pairs(block) -> list:
-        if isinstance(block, pa.Table):
-            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
-            return list(zip(ts.to_pylist(), block.column("event_id").to_pylist()))
-        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
-        return list(zip(ts.to_pylist(), list(block["event_id"])))
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda left, right: left + right,
-        name="evs",
-        accumulate_block=lambda acc, block: acc + _pairs(block),
-    )
-    per_user = ds.groupby("user_id").aggregate(collect)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        users, eids, ranks = [], [], []
-        for u, evs in zip(
-            batch.column("user_id").to_pylist(), batch.column("evs").to_pylist()
-        ):
-            for r, (_, eid) in enumerate(sorted(tuple(e) for e in evs), start=1):
-                users.append(u)
-                eids.append(eid)
-                ranks.append(r)
+    def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "user_id": pa.array(users, pa.int64()),
-                "event_id": pa.array(eids, pa.int64()),
-                "rk": pa.array(ranks, pa.int64()),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "rk": pc.add(batch.column("cum_excl"), pa.scalar(1, pa.int64())),
             }
         )
 
-    return per_user.map_batches(explode, batch_format="pyarrow")
+    return scanned.map_batches(finish, batch_format="pyarrow")
 
 
 def q_doc_top_tfidf(sf_dir: str):

@@ -521,6 +521,126 @@ def prefix_scan(
     return ds.map_batches(add_prefix, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_prefix_scan(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    cost_col: Optional[str] = None,
+):
+    """Append ``cum_excl`` — the EXCLUSIVE running sum of ``cost_col`` (or
+    the 0-based row rank when ``cost_col`` is None) WITHIN each ``key_cols``
+    partition, ordered by ``order_cols`` — the distributed form of
+    ``sum(cost) OVER (PARTITION BY key ORDER BY ord)`` / ``row_number()``.
+
+    Same two-phase shape as :func:`prefix_scan` (sort, pin the layout, one
+    block-count-sized driver pass, identical-layout second pass), but the
+    carry is PER KEY: after the global sort each key's rows are contiguous,
+    so the only run in a block that can owe a carry from earlier blocks is
+    its FIRST one, and the only run that can lend forward is its LAST —
+    the driver walks the blocks in order keeping one (key, acc) pair.
+    Unlike the collect-list window pattern (sessions / cumulative), no
+    worker ever holds a whole key's history: a single key spanning the
+    entire corpus streams through in block-sized pieces — this is the
+    10^12-row window-analytic shape. Sums are integer-exact for integer
+    costs. ``key_cols + order_cols`` must be row-unique (block offsets key
+    on first-row values, as in prefix_scan).
+    """
+    import ray
+
+    from vigil_ray.stages.blocks import coalesce_blocks
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
+
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    sort_cols = key_cols + order_cols
+    ds = compact_blocks(coalesce_blocks(ds).sort(sort_cols))
+
+    def _np(col) -> np.ndarray:
+        return col.combine_chunks().to_numpy(zero_copy_only=False)
+
+    schema = ds.schema()
+    col_types = (
+        dict(zip(schema.names, schema.types)) if schema is not None else {}
+    )
+    int_exact = cost_col is None or (
+        cost_col in col_types and pa.types.is_integer(col_types[cost_col])
+    )
+    np_dtype = np.int64 if int_exact else np.float64
+    cum_type = pa.int64() if int_exact else pa.float64()
+
+    def _costs(batch: pa.Table) -> np.ndarray:
+        if cost_col:
+            return _np(batch.column(cost_col)).astype(np_dtype)
+        return np.ones(batch.num_rows, dtype=np.int64)
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        # one row per block: the block id (first-row sort key, native types)
+        # plus first-run / last-run keys and totals — the only runs that can
+        # exchange carry across block boundaries
+        if batch.num_rows == 0:
+            t = batch.slice(0, 0).select(sort_cols)
+            for name in ("first_total", "last_total"):
+                t = t.append_column(name, pa.array([], cum_type))
+            for c in key_cols:
+                t = t.append_column(f"__last_{c}", batch.slice(0, 0).column(c))
+            return t.append_column("single_run", pa.array([], pa.bool_()))
+        starts = _run_starts_impl(batch, key_cols)
+        costs = _costs(batch)
+        first_end = int(starts[1]) if len(starts) > 1 else batch.num_rows
+        first_total = costs[:first_end].sum()
+        last_total = costs[int(starts[-1]):].sum()
+        t = batch.slice(0, 1).select(sort_cols)
+        t = t.append_column("first_total", pa.array([first_total], cum_type))
+        t = t.append_column("last_total", pa.array([last_total], cum_type))
+        # last run's key values ride along as extra columns
+        for c in key_cols:
+            t = t.append_column(
+                f"__last_{c}", batch.slice(int(starts[-1]), 1).column(c)
+            )
+        return t.append_column(
+            "single_run", pa.array([len(starts) == 1], pa.bool_())
+        )
+
+    edges = ds.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    edges.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+
+    zero = 0 if int_exact else 0.0
+    carries = {}
+    prev_key, acc = None, zero
+    for e in edges:
+        first_key = tuple(e[c] for c in key_cols)
+        block_id = tuple(e[c] for c in sort_cols)
+        carry = acc if first_key == prev_key else zero
+        carries[block_id] = carry
+        if e["single_run"]:
+            acc = carry + e["first_total"]
+            prev_key = first_key
+        else:
+            acc = e["last_total"]
+            prev_key = tuple(e[f"__last_{c}"] for c in key_cols)
+    carry_ref = ray.put(carries)
+
+    def add_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cum_excl", pa.array([], cum_type))
+        costs = _costs(batch)
+        starts = _run_starts_impl(batch, key_cols)
+        excl = np.cumsum(costs) - costs
+        lengths = np.diff(np.append(starts, batch.num_rows))
+        # reset the running sum at each key run (vectorized per-run rebase)
+        excl = excl - np.repeat(excl[starts], lengths)
+        block_id = tuple(batch.column(c)[0].as_py() for c in sort_cols)
+        carry = ray.get(carry_ref)[block_id]
+        if carry:
+            first_end = int(starts[1]) if len(starts) > 1 else batch.num_rows
+            excl = excl.astype(np_dtype, copy=True)
+            excl[:first_end] += carry
+        return batch.append_column("cum_excl", pa.array(excl, cum_type))
+
+    return ds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
+
+
 def pack_shards(ds, id_col: str, cost_col: str, shard_size: int):
     """Greedy in-order shard packing: documents in ``id_col`` order are
     assigned to consecutive shards of ≈``shard_size`` cost units
