@@ -736,3 +736,46 @@ class TestGroupedPrefixScan:
     def test_float_costs(self):
         rows = [{"u": i % 3, "t": i, "c": i / 4.0} for i in range(60)]
         self._check(rows, ["u"], ["t"], cost_col="c")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedFillForward:
+    def _check(self, rows):
+        import pandas as pd
+
+        from vigil_ray.stages.corpus import grouped_fill_forward
+
+        out = (
+            grouped_fill_forward(_ds(rows), ["u"], ["t"], "v", out_col="f")
+            .to_pandas()
+            .sort_values(["u", "t"])
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows).sort_values(["u", "t"]).reset_index(drop=True)
+        df["f"] = df.groupby("u")["v"].ffill()
+        pd.testing.assert_frame_equal(out, df[out.columns], check_dtype=False)
+
+    def test_matches_pandas_ffill(self):
+        rows = [
+            {"u": i % 6, "t": i, "v": float(i) if i % 3 == 0 else None}
+            for i in range(90)
+        ]
+        self._check(rows)
+
+    def test_long_null_gap_spanning_blocks(self):
+        # one key dominates, with a single observation followed by a long
+        # all-null stretch crossing every block boundary: the driver walk
+        # must carry the value through intermediate all-null blocks
+        rows = [{"u": 0, "t": 0, "v": 7.5}] + [
+            {"u": 0, "t": i, "v": None} for i in range(1, 150)
+        ] + [{"u": 1, "t": i, "v": None} for i in range(10)]
+        self._check(rows)
+
+    def test_leading_nulls_stay_null(self):
+        rows = [
+            {"u": 0, "t": 0, "v": None},
+            {"u": 0, "t": 1, "v": None},
+            {"u": 0, "t": 2, "v": 3.0},
+            {"u": 0, "t": 3, "v": None},
+        ]
+        self._check(rows)

@@ -1028,6 +1028,49 @@ def q_events_cumulative(sf_dir: str):
     return scanned.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_last_purchase_value(sf_dir: str):
+    """LOCF / gap-fill imputation: at every event, the user's most recent
+    purchase value so far (null before the first purchase) — SQL
+    ``last_value(v IGNORE NULLS) OVER (PARTITION BY user ORDER BY ts, id)``.
+    Ray shape: ``corpus.grouped_fill_forward`` — global sort by (user, ts,
+    id) pins blocks, a block-count-sized driver walk threads the last-seen
+    value across boundaries, vectorized in-block forward fill. No worker
+    holds a user's history; the feature-table imputation op at 10^12 rows."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_fill_forward
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+    def purchase_only(batch: pa.Table) -> pa.Table:
+        pv = pc.if_else(
+            pc.equal(batch.column("event_type"), "purchase"),
+            batch.column("value"),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "pv": pv,
+            }
+        )
+
+    filled = grouped_fill_forward(
+        ds.map_batches(purchase_only, batch_format="pyarrow"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "pv",
+        out_col="last_purchase_value",
+    )
+    return filled.select_columns(["user_id", "event_id", "last_purchase_value"])
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -2600,6 +2643,7 @@ def queries() -> Dict[str, Callable]:
         "order_priority_items": q_order_priority_items,
         "events_sliding": q_events_sliding,
         "events_cumulative": q_events_cumulative,
+        "events_last_purchase_value": q_events_last_purchase_value,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -2947,6 +2991,13 @@ SELECT a, b FROM pairdist WHERE d <= 3
         "events_cumulative": (
             "SELECT user_id, event_id, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk "
+            "FROM events"
+        ),
+        "events_last_purchase_value": (
+            "SELECT user_id, event_id, "
+            "last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value "
             "FROM events"
         ),
         "events_asof_join": (

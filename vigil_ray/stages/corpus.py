@@ -641,6 +641,142 @@ def grouped_prefix_scan(
     return ds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_fill_forward(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "filled",
+):
+    """Append ``out_col`` — the last non-null ``value_col`` at or before each
+    row WITHIN its ``key_cols`` partition, ordered by ``order_cols`` (LOCF /
+    gap-fill imputation; SQL ``last_value(v IGNORE NULLS) OVER (PARTITION BY
+    key ORDER BY ord ROWS UNBOUNDED PRECEDING)``). Rows before a key's first
+    observation stay null.
+
+    Same two-phase shape as :func:`grouped_prefix_scan`: global sort pins
+    the layout, one block-count-sized driver walk threads the last-seen
+    value across block boundaries (only a block's FIRST run can owe a value
+    from earlier blocks), and an identical-layout second pass fills within
+    blocks vectorized. No worker ever holds a key's history.
+    ``key_cols + order_cols`` must be row-unique.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from vigil_ray.stages.blocks import coalesce_blocks
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
+
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    sort_cols = key_cols + order_cols
+    ds = compact_blocks(coalesce_blocks(ds).sort(sort_cols))
+
+    # resolve the value type ONCE on the driver: an all-null block reports a
+    # `null`-typed column (from_items / filtered inputs), and the fill pass
+    # must emit one consistent type across blocks
+    schema = ds.schema()
+    vtype_global = None
+    if schema is not None:
+        vtype_global = dict(zip(schema.names, schema.types)).get(value_col)
+    if vtype_global is None or pa.types.is_null(vtype_global):
+        vtype_global = pa.float64()
+
+    def _vcol(batch: pa.Table):
+        import pyarrow.compute as _pc
+
+        col = batch.column(value_col).combine_chunks()
+        if pa.types.is_null(col.type):
+            col = _pc.cast(col, vtype_global)
+        return col
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.slice(0, 0).select(sort_cols)
+            t = t.append_column("last_val", pa.nulls(0, vtype_global))
+            for c in key_cols:
+                t = t.append_column(f"__last_{c}", batch.slice(0, 0).column(c))
+            return t.append_column("single_run", pa.array([], pa.bool_()))
+        starts = _run_starts_impl(batch, key_cols)
+        col = _vcol(batch)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        last_start = int(starts[-1])
+        tail_valid = np.flatnonzero(valid[last_start:])
+        # last non-null of the LAST run (None if the run is all-null: the
+        # run STARTS in this block, so nothing earlier can exist for it)
+        last_idx = (
+            last_start + int(tail_valid[-1]) if len(tail_valid) else None
+        )
+        t = batch.slice(0, 1).select(sort_cols)
+        t = t.append_column(
+            "last_val",
+            col.slice(last_idx, 1) if last_idx is not None
+            else pa.nulls(1, vtype_global),
+        )
+        for c in key_cols:
+            t = t.append_column(f"__last_{c}", batch.slice(last_start, 1).column(c))
+        return t.append_column(
+            "single_run", pa.array([len(starts) == 1], pa.bool_())
+        )
+
+    edges = ds.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    edges.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+
+    carries = {}
+    prev_key, acc = None, None
+    for e in edges:
+        first_key = tuple(e[c] for c in key_cols)
+        block_id = tuple(e[c] for c in sort_cols)
+        carries[block_id] = acc if first_key == prev_key else None
+        if e["single_run"]:
+            if e["last_val"] is not None:
+                acc = e["last_val"]
+            elif first_key != prev_key:
+                acc = None
+            prev_key = first_key
+        else:
+            acc = e["last_val"]
+            prev_key = tuple(e[f"__last_{c}"] for c in key_cols)
+    carry_ref = ray.put(carries)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        vtype = vtype_global
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.nulls(0, vtype))
+        col = _vcol(batch)
+        n = batch.num_rows
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        starts = _run_starts_impl(batch, key_cols)
+        lengths = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        seen = np.maximum.accumulate(np.where(valid, pos, -1))
+        run_start = np.repeat(starts, lengths)
+        has_val = seen >= run_start  # an observation within this row's run
+        taken = col.take(pa.array(np.maximum(seen, 0), pa.int64()))
+        out = pc.if_else(pa.array(has_val), taken, pa.scalar(None, vtype))
+        block_id = tuple(batch.column(c)[0].as_py() for c in sort_cols)
+        carry = ray.get(carry_ref)[block_id]
+        if carry is not None:
+            first_end = int(starts[1]) if len(starts) > 1 else n
+            head_gap = pa.array(~has_val[:first_end])
+            head = pc.if_else(
+                head_gap, pa.scalar(carry, vtype), out.slice(0, first_end)
+            )
+
+            def _plain(a):
+                return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+            out = (
+                pa.concat_arrays([_plain(head), _plain(out.slice(first_end))])
+                if first_end < n
+                else head
+            )
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
 def pack_shards(ds, id_col: str, cost_col: str, shard_size: int):
     """Greedy in-order shard packing: documents in ``id_col`` order are
     assigned to consecutive shards of ≈``shard_size`` cost units
