@@ -1071,6 +1071,53 @@ def q_events_last_purchase_value(sf_dir: str):
     return filled.select_columns(["user_id", "event_id", "last_purchase_value"])
 
 
+def q_events_user_mode_type(sf_dir: str):
+    """Per-user modal event type (the plurality-vote / label-consolidation
+    aggregate of weak-supervision pipelines): the event_type each user
+    emitted most often, count ties broken by the lexicographically smallest
+    type. Ray shape: vectorized map-side (user, type) partial counts (native
+    Arrow ``group_by`` per block, so the shuffle carries one row per distinct
+    (user, type) pair — never the event stream) → ``sorted_group_sum`` exact
+    merge → ``sorted_group_min`` per-user argmax on (n desc, type asc). No
+    per-group UDF, no driver state beyond ≤2 boundary rows per block."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import sorted_group_min, sorted_group_sum
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = sorted_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["n"],
+    )
+    mode = sorted_group_min(
+        counts, ["user_id"], ["n", "event_type"], descending=[True, False]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "mode_type": batch.column("event_type"),
+                "n": batch.column("n"),
+            }
+        )
+
+    return mode.map_batches(finish, batch_format="pyarrow")
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -2644,6 +2691,7 @@ def queries() -> Dict[str, Callable]:
         "events_sliding": q_events_sliding,
         "events_cumulative": q_events_cumulative,
         "events_last_purchase_value": q_events_last_purchase_value,
+        "events_user_mode_type": q_events_user_mode_type,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -2999,6 +3047,13 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value "
             "FROM events"
+        ),
+        "events_user_mode_type": (
+            "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id, event_type), "
+            "r AS (SELECT user_id, event_type, n, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n DESC, event_type) AS rk FROM c) "
+            "SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
