@@ -1118,6 +1118,54 @@ def q_events_user_mode_type(sf_dir: str):
     return mode.map_batches(finish, batch_format="pyarrow")
 
 
+def q_user_order_reconcile(sf_dir: str):
+    """Catalog reconciliation — FULL OUTER join of two independently derived
+    per-key aggregates (user ids seen in the event stream vs custkeys seen in
+    orders): the snapshot-merge shape for reconciling two ID catalogs where
+    EACH side holds keys the other lacks (crawl frontier vs index manifest).
+    Ray shape: map-side ``value_counts`` partials per side (each shuffle
+    carries one row per distinct key, never the fact stream) →
+    ``sorted_group_sum`` exact merges → ``safe_join`` full_outer (both inputs
+    aggregate-derived, so both go through the block-compaction valve; Ray's
+    full_outer coalesces same-named key columns) → vectorized null→0 fill."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.blocks import safe_join
+    from vigil_ray.stages.corpus import sorted_group_sum
+
+    def keyed_counts(path: str, key: str, out_name: str):
+        ds = read_table(path, columns=[key])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(batch.column(key).combine_chunks())
+            return pa.table(
+                {
+                    "k": vc.field("values"),
+                    out_name: pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        return sorted_group_sum(
+            ds.map_batches(partial, batch_format="pyarrow"), ["k"], [out_name]
+        )
+
+    ev = keyed_counts(f"{sf_dir}/events.parquet", "user_id", "n_events")
+    od = keyed_counts(f"{sf_dir}/orders.parquet", "o_custkey", "n_orders")
+    joined = safe_join(ev, od, "full_outer", num_partitions=8, on=("k",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("k"),
+                "n_events": pc.fill_null(batch.column("n_events"), 0),
+                "n_orders": pc.fill_null(batch.column("n_orders"), 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -2692,6 +2740,7 @@ def queries() -> Dict[str, Callable]:
         "events_cumulative": q_events_cumulative,
         "events_last_purchase_value": q_events_last_purchase_value,
         "events_user_mode_type": q_events_user_mode_type,
+        "user_order_reconcile": q_user_order_reconcile,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3054,6 +3103,15 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "r AS (SELECT user_id, event_type, n, row_number() OVER "
             "(PARTITION BY user_id ORDER BY n DESC, event_type) AS rk FROM c) "
             "SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1"
+        ),
+        "user_order_reconcile": (
+            "WITH e AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY user_id), "
+            "o AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT COALESCE(e.k, o.k) AS k, "
+            "COALESCE(n_events, 0) AS n_events, COALESCE(n_orders, 0) AS n_orders "
+            "FROM e FULL OUTER JOIN o ON e.k = o.k"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
