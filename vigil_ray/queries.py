@@ -1166,6 +1166,95 @@ def q_user_order_reconcile(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix — users bucketed by their FIRST-activity hour
+    (the cohort), counted by how many were active at each hour offset since:
+    the classic retention/engagement analytic (hour granularity so the
+    fixture's time span yields a real matrix; week-granularity is the same
+    query with a different truncation). Ray shape, shuffle-minimal: (1)
+    per-block partial counts dedup (user, hour) activity pairs before any
+    exchange, (2) ``sorted_group_sum`` makes them exact-distinct, (3)
+    ``sorted_group_min`` derives each user's cohort (min hour), (4) the
+    user→cohort dimension attaches via the size-gated ``broadcast_join``
+    (hash-join fallback over the gate — the 10^9-user path), (5) offsets
+    reduce by map-side partial counts + ``sorted_group_sum``. No per-group
+    UDF anywhere; every shuffle carries distinct-pair-sized rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import sorted_group_min, sorted_group_sum
+    from vigil_ray.stages.joins import broadcast_join
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    US_PER_HOUR = 3_600_000_000
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        h = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")),
+            pa.int64(),
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "h": h})
+        return t.group_by(["user_id", "h"]).aggregate([([], "count_all")]).select(
+            ["user_id", "h"]
+        )
+
+    def with_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array(np.ones(batch.num_rows, np.int64)))
+
+    pairs = sorted_group_sum(
+        ds.map_batches(pair_partials, batch_format="pyarrow").map_batches(
+            with_one, batch_format="pyarrow"
+        ),
+        ["user_id", "h"],
+        ["one"],
+    )
+
+    cohort = sorted_group_min(pairs.select_columns(["user_id", "h"]), ["user_id"], ["h"])
+    cohort = cohort.map_batches(
+        lambda b: pa.table(
+            {"user_id": b.column("user_id"), "cohort_us": b.column("h")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = broadcast_join(
+        pairs.select_columns(["user_id", "h"]), cohort, key="user_id"
+    )
+
+    def offset_partials(batch: pa.Table) -> pa.Table:
+        off = pc.divide(
+            pc.subtract(batch.column("h"), batch.column("cohort_us")),
+            pa.scalar(US_PER_HOUR, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "cohort_us": batch.column("cohort_us"),
+                "offset_h": off,
+                "n_users": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["cohort_us", "offset_h"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["cohort_us", "offset_h", "n_users"])
+
+    matrix = sorted_group_sum(
+        joined.map_batches(offset_partials, batch_format="pyarrow"),
+        ["cohort_us", "offset_h"],
+        ["n_users"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_h": pc.cast(batch.column("cohort_us"), pa.timestamp("us")),
+                "offset_h": batch.column("offset_h"),
+                "n_users": batch.column("n_users"),
+            }
+        )
+
+    return matrix.map_batches(finish, batch_format="pyarrow")
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -2741,6 +2830,7 @@ def queries() -> Dict[str, Callable]:
         "events_last_purchase_value": q_events_last_purchase_value,
         "events_user_mode_type": q_events_user_mode_type,
         "user_order_reconcile": q_user_order_reconcile,
+        "events_cohort_retention": q_events_cohort_retention,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3112,6 +3202,15 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT COALESCE(e.k, o.k) AS k, "
             "COALESCE(n_events, 0) AS n_events, COALESCE(n_orders, 0) AS n_orders "
             "FROM e FULL OUTER JOIN o ON e.k = o.k"
+        ),
+        "events_cohort_retention": (
+            "WITH a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h "
+            "FROM events), "
+            "f AS (SELECT user_id, min(h) AS cohort_h FROM a GROUP BY user_id) "
+            "SELECT f.cohort_h, "
+            "CAST(date_diff('hour', f.cohort_h, a.h) AS BIGINT) AS offset_h, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY f.cohort_h, offset_h"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
