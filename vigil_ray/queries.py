@@ -1255,6 +1255,131 @@ def q_events_cohort_retention(sf_dir: str):
     return matrix.map_batches(finish, batch_format="pyarrow")
 
 
+def q_source_mixture_weights(sf_dir: str):
+    """Data-mixing weight table: each (lang, source) cell's share of its
+    language's total characters — the mixture-weight computation that feeds
+    a training-data sampler (chars stand in for tokens). Ray shape: map-side
+    Arrow ``group_by`` char-sum partials → ``sorted_group_sum`` exact leaf
+    table (bounded: langs × sources, never corpus-sized) → per-lang totals
+    from a second tiny ``sorted_group_sum`` attached via the size-gated
+    ``broadcast_join`` → vectorized share division. Integer sums make the
+    division operands bit-identical to SQL's; round(6) guards the quotient."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.joins import broadcast_join
+
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([("n_chars", "sum")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "chars": pc.cast(g.column("n_chars_sum"), pa.int64()),
+            }
+        )
+
+    cells = sorted_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang", "source"], ["chars"]
+    )
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": batch.column("lang"), "tot": batch.column("chars")}
+        )
+
+    totals = sorted_group_sum(
+        cells.map_batches(total_partial, batch_format="pyarrow"), ["lang"], ["tot"]
+    )
+    joined = broadcast_join(cells, totals, key="lang")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # DuckDB round() is half-away-from-zero; Arrow defaults half-to-even
+        w = pc.round(
+            pc.divide(
+                pc.cast(batch.column("chars"), pa.float64()),
+                pc.cast(batch.column("tot"), pa.float64()),
+            ),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+                "chars": batch.column("chars"),
+                "weight": w,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_type_value_hour_corr(sf_dir: str):
+    """Per-event-type Pearson correlation between event value and hour of
+    day — the feature-correlation scan of a feature-engineering pipeline.
+    Ray shape: one vectorized map-side pass accumulates the six sufficient
+    statistics (n, Σx, Σy, Σxx, Σyy, Σxy) per type per block (Arrow
+    ``group_by`` sums), a native groupby merges the per-block partials
+    (groups are bounded by the type vocabulary), and the closed-form corr
+    evaluates on the driver-sized result. round(6) absorbs summation-order
+    ulps vs the SQL one-pass form."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column("value"), pa.float64())
+        y = pc.cast(pc.hour(batch.column("ts")), pa.float64())
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(batch.num_rows, np.float64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        syy = batch.column("syy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        cov = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        corr = np.round(cov / den, 6)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "corr_vh": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -2831,6 +2956,8 @@ def queries() -> Dict[str, Callable]:
         "events_user_mode_type": q_events_user_mode_type,
         "user_order_reconcile": q_user_order_reconcile,
         "events_cohort_retention": q_events_cohort_retention,
+        "source_mixture_weights": q_source_mixture_weights,
+        "events_type_value_hour_corr": q_events_type_value_hour_corr,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3211,6 +3338,19 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "CAST(date_diff('hour', f.cohort_h, a.h) AS BIGINT) AS offset_h, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM a JOIN f USING (user_id) GROUP BY f.cohort_h, offset_h"
+        ),
+        "source_mixture_weights": (
+            "WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars "
+            "FROM documents GROUP BY lang, source), "
+            "t AS (SELECT lang, CAST(sum(chars) AS BIGINT) AS tot FROM c GROUP BY lang) "
+            "SELECT c.lang, c.source, c.chars, "
+            "round(c.chars / CAST(t.tot AS DOUBLE), 6) AS weight "
+            "FROM c JOIN t USING (lang)"
+        ),
+        "events_type_value_hour_corr": (
+            "SELECT event_type, "
+            "round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_vh "
+            "FROM events GROUP BY event_type"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
