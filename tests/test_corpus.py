@@ -779,3 +779,59 @@ class TestGroupedFillForward:
             {"u": 0, "t": 3, "v": None},
         ]
         self._check(rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedShift:
+    def _check(self, rows, periods):
+        import pandas as pd
+
+        from vigil_ray.stages.corpus import grouped_shift
+
+        out = (
+            grouped_shift(_ds(rows), ["u"], ["t"], "v", periods=periods, out_col="s")
+            .to_pandas()
+            .sort_values(["u", "t"])
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows).sort_values(["u", "t"]).reset_index(drop=True)
+        df["s"] = df.groupby("u")["v"].shift(periods)
+        pd.testing.assert_frame_equal(out, df[out.columns], check_dtype=False)
+
+    def test_lag_matches_pandas(self):
+        rows = [{"u": i % 7, "t": i, "v": float(i * 3 % 17)} for i in range(90)]
+        self._check(rows, 1)
+
+    def test_lead_matches_pandas(self):
+        rows = [{"u": i % 7, "t": i, "v": float(i * 5 % 13)} for i in range(90)]
+        self._check(rows, -1)
+
+    def test_hot_key_spanning_blocks_lag_and_lead(self):
+        # one key spans every sorted block: the edge handoff must thread the
+        # neighbor's value across each boundary in both directions
+        rows = [{"u": 0, "t": i, "v": float(i)} for i in range(180)] + [
+            {"u": 1 + (i % 4), "t": i, "v": float(i)} for i in range(20)
+        ]
+        self._check(rows, 1)
+        self._check(rows, -1)
+
+    def test_null_values_shift_as_nulls(self):
+        rows = [
+            {"u": i % 3, "t": i, "v": float(i) if i % 4 else None}
+            for i in range(48)
+        ]
+        self._check(rows, 1)
+        self._check(rows, -1)
+
+    def test_single_row_groups(self):
+        rows = [{"u": i, "t": 0, "v": float(i)} for i in range(25)]
+        self._check(rows, 1)
+        self._check(rows, -1)
+
+    def test_bad_periods_raises(self):
+        import pytest as _pytest
+
+        from vigil_ray.stages.corpus import grouped_shift
+
+        with _pytest.raises(ValueError):
+            grouped_shift(_ds([{"u": 0, "t": 0, "v": 1.0}]), ["u"], ["t"], "v", periods=2)

@@ -2278,48 +2278,87 @@ def q_events_user_gaps(sf_dir: str):
     """LAG window analytic: each event's gap (µs) to the SAME user's
     previous event in (ts, event_id) order — SQL ``epoch_us(ts) -
     lag(epoch_us(ts)) OVER (PARTITION BY user ORDER BY ts, event_id)``.
-    Ray shape: the sessionize/cumulative collect-list aggregate (per-key
-    state = one user's history), vectorized sort + diff per batch of users;
-    each user's first event has no predecessor and is omitted."""
-    import numpy as np
+    Ray shape: ``corpus.grouped_shift`` (sorted-block one-row lag with a
+    block-count-sized driver edge handoff) — NO per-key collected state,
+    unlike the earlier collect-list form; each user's first event has no
+    predecessor and is omitted."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_shift
 
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
 
-    def _pairs(block) -> list:
-        if isinstance(block, pa.Table):
-            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
-            return list(zip(ts.to_pylist(), block.column("event_id").to_pylist()))
-        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
-        return list(zip(ts.to_pylist(), list(block["event_id"])))
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda left, right: left + right,
-        name="evs",
-        accumulate_block=lambda acc, block: acc + _pairs(block),
-    )
-    per_user = ds.groupby("user_id").aggregate(collect)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        eids, gaps = [], []
-        for evs in batch.column("evs").to_pylist():
-            evs = sorted(tuple(e) for e in evs)  # (ts, event_id)
-            ts = np.fromiter((e[0] for e in evs), dtype=np.int64, count=len(evs))
-            d = np.diff(ts)
-            eids.extend(e[1] for e in evs[1:])
-            gaps.extend(d.tolist())
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
         return pa.table(
             {
-                "event_id": pa.array(eids, pa.int64()),
-                "gap_us": pa.array(gaps, pa.int64()),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": ts,
             }
         )
 
-    return per_user.map_batches(explode, batch_format="pyarrow")
+    shifted = grouped_shift(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id"],
+        ["ts_us", "event_id"],
+        "ts_us",
+        periods=1,
+        out_col="prev_us",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        gap = pc.subtract(batch.column("ts_us"), batch.column("prev_us"))
+        t = pa.table({"event_id": batch.column("event_id"), "gap_us": gap})
+        return t.filter(pc.is_valid(gap))
+
+    return shifted.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_validity_intervals(sf_dir: str):
+    """SCD2 intervalization: each event becomes a validity interval
+    ``[ts, next event ts)`` within its user — SQL ``lead(ts) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)``; the user's latest event
+    stays open-ended (null ``valid_to``). The snapshot→slowly-changing-
+    dimension build of a feature store. Ray shape: ``corpus.grouped_shift``
+    with ``periods=-1`` (sorted-block LEAD, adjacent-block edge handoff,
+    no per-key state)."""
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_shift
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": pc.cast(batch.column("ts"), pa.timestamp("us")),
+            }
+        )
+
+    shifted = grouped_shift(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "ts",
+        periods=-1,
+        out_col="valid_to",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "valid_from": batch.column("ts"),
+                "valid_to": batch.column("valid_to"),
+            }
+        )
+
+    return shifted.map_batches(finish, batch_format="pyarrow")
 
 
 def q_events_hll_users(sf_dir: str):
@@ -3012,6 +3051,7 @@ def queries() -> Dict[str, Callable]:
         "events_hll_users": q_events_hll_users,
         "events_skew_join_segments": q_events_skew_join_segments,
         "events_user_gaps": q_events_user_gaps,
+        "events_validity_intervals": q_events_validity_intervals,
         "events_props_k": q_events_props_k,
         "events_props_stats": q_events_props_stats,
     }
@@ -3831,6 +3871,11 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "FROM events) "
             "SELECT event_id, CAST(gap_us AS BIGINT) AS gap_us FROM g "
             "WHERE gap_us IS NOT NULL"
+        ),
+        "events_validity_intervals": (
+            "SELECT event_id, ts AS valid_from, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to "
+            "FROM events"
         ),
         "events_props_k": (
             "SELECT event_id, "

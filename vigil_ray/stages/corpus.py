@@ -777,6 +777,135 @@ def grouped_fill_forward(
     return ds.map_batches(fill, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_shift(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    periods: int = 1,
+    out_col: str = "shifted",
+):
+    """Append ``out_col`` — ``value_col`` shifted by one row WITHIN each
+    ``key_cols`` partition in ``order_cols`` order: SQL ``lag(v, 1)``
+    (``periods=1``) / ``lead(v, 1)`` (``periods=-1``) ``OVER (PARTITION BY
+    key ORDER BY ord)``. The partition's edge row gets null. Only |1| is
+    supported — a one-row shift needs only the ADJACENT block's edge row,
+    so the driver walk stays block-count-sized.
+
+    Same two-phase shape as :func:`grouped_fill_forward`: global sort pins
+    the layout; an edges pass emits each block's first/last (key, value)
+    row; the driver hands each block its neighbor's edge value when the run
+    continues across the boundary; an identical-layout second pass shifts
+    within blocks vectorized. No worker holds a key's history.
+    ``key_cols + order_cols`` must be row-unique.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from vigil_ray.stages.blocks import coalesce_blocks
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
+
+    if periods not in (1, -1):
+        raise ValueError("grouped_shift supports periods=1 (lag) or -1 (lead)")
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    sort_cols = key_cols + order_cols
+    ds = compact_blocks(coalesce_blocks(ds).sort(sort_cols))
+
+    schema = ds.schema()
+    vtype = None
+    if schema is not None:
+        vtype = dict(zip(schema.names, schema.types)).get(value_col)
+    if vtype is None or pa.types.is_null(vtype):
+        vtype = pa.float64()
+
+    def _vcol(batch: pa.Table):
+        col = batch.column(value_col).combine_chunks()
+        if pa.types.is_null(col.type):
+            col = pc.cast(col, vtype)
+        return col
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.slice(0, 0).select(sort_cols)
+            t = t.append_column("first_val", pa.nulls(0, vtype))
+            t = t.append_column("last_val", pa.nulls(0, vtype))
+            for c in key_cols:
+                t = t.append_column(f"__last_{c}", batch.slice(0, 0).column(c))
+            return t
+        col = _vcol(batch)
+        n = batch.num_rows
+        t = batch.slice(0, 1).select(sort_cols)  # block id = first-row sort tuple
+        t = t.append_column("first_val", col.slice(0, 1))
+        t = t.append_column("last_val", col.slice(n - 1, 1))
+        for c in key_cols:
+            t = t.append_column(f"__last_{c}", batch.slice(n - 1, 1).column(c))
+        return t
+
+    edges = ds.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    edges.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+
+    # carry[block] = the neighbor-block value the block's edge row takes,
+    # or None when the run does not continue across that boundary
+    carries = {}
+    for i, e in enumerate(edges):
+        block_id = tuple(e[c] for c in sort_cols)
+        first_key = tuple(e[c] for c in key_cols)
+        last_key = tuple(e[f"__last_{c}"] for c in key_cols)
+        if periods == 1:  # lag: row 0 takes the PREVIOUS block's last value
+            prev = edges[i - 1] if i > 0 else None
+            same = prev is not None and tuple(
+                prev[f"__last_{c}"] for c in key_cols
+            ) == first_key
+            carries[block_id] = prev["last_val"] if same else None
+        else:  # lead: last row takes the NEXT block's first value
+            nxt = edges[i + 1] if i + 1 < len(edges) else None
+            same = nxt is not None and tuple(nxt[c] for c in key_cols) == last_key
+            carries[block_id] = nxt["first_val"] if same else None
+    carry_ref = ray.put(carries)
+
+    def _plain(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    def shift(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.nulls(0, vtype))
+        col = _vcol(batch)
+        n = batch.num_rows
+        starts = _run_starts_impl(batch, key_cols)
+        lengths = np.diff(np.append(starts, n))
+        if periods == 1:
+            idx = np.arange(n, dtype=np.int64) - 1
+            bound = np.repeat(starts, lengths)  # run start per row
+            has = idx >= bound
+        else:
+            idx = np.arange(n, dtype=np.int64) + 1
+            bound = np.repeat(np.append(starts[1:], n), lengths)  # run end
+            has = idx < bound
+        taken = col.take(pa.array(np.clip(idx, 0, n - 1), pa.int64()))
+        out = pc.if_else(pa.array(has), taken, pa.scalar(None, vtype))
+        block_id = tuple(batch.column(c)[0].as_py() for c in sort_cols)
+        carry = ray.get(carry_ref)[block_id]
+        if carry is not None:
+            patch = pa.array([carry], vtype)
+            if periods == 1:
+                out = (
+                    pa.concat_arrays([patch, _plain(out.slice(1))])
+                    if n > 1
+                    else patch
+                )
+            else:
+                out = (
+                    pa.concat_arrays([_plain(out.slice(0, n - 1)), patch])
+                    if n > 1
+                    else patch
+                )
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
+
+
 def pack_shards(ds, id_col: str, cost_col: str, shard_size: int):
     """Greedy in-order shard packing: documents in ``id_col`` order are
     assigned to consecutive shards of ≈``shard_size`` cost units
