@@ -183,6 +183,11 @@ def run_bench() -> dict:
         "corpus_top_terms",
         "docs_snapshot_merge",
         "docs_corpus_lm_ppl",
+        "events_user_gaps",
+        "events_last_purchase_value",
+        "events_validity_intervals",
+        "events_cohort_retention",
+        "user_order_reconcile",
     ]
     registry = query_registry()
     for name in secondary:
