@@ -835,3 +835,77 @@ class TestGroupedShift:
 
         with _pytest.raises(ValueError):
             grouped_shift(_ds([{"u": 0, "t": 0, "v": 1.0}]), ["u"], ["t"], "v", periods=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionizeFragmentMerge:
+    def _check(self, df, gap_minutes=30):
+        import pandas as pd
+        import ray.data as rd
+
+        from vigil_ray.stages.sessions import sessionize
+
+        out = (
+            sessionize(rd.from_pandas(df).repartition(7), gap_minutes=gap_minutes)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        gap = pd.Timedelta(minutes=gap_minutes)
+        rows = []
+        for u, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+            d = g["ts"].diff()
+            new = d.gt(gap) | d.isna()  # NaT > gap is False, not NaN
+            sizes = new.cumsum().value_counts()
+            rows.append(
+                {
+                    "user_id": u,
+                    "n_sessions": int(new.sum()),
+                    "n_events": len(g),
+                    "max_session_events": int(sizes.max()),
+                }
+            )
+        want = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+    def test_hot_user_single_session_spanning_all_blocks(self):
+        import pandas as pd
+
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [0] * 200 + [1, 1],
+                "ts": [base + pd.Timedelta(minutes=10 * i) for i in range(200)]
+                + [base, base + pd.Timedelta(hours=5)],
+            }
+        )
+        self._check(df)
+
+    def test_hot_user_many_boundary_sessions(self):
+        import pandas as pd
+
+        base = pd.Timestamp("2026-01-01")
+        # user 0: pairs of close events separated by >gap → 90 sessions of 2,
+        # guaranteed to straddle block boundaries after repartition(7)
+        ts = []
+        for i in range(90):
+            t0 = base + pd.Timedelta(hours=2 * i)
+            ts += [t0, t0 + pd.Timedelta(minutes=5)]
+        df = pd.DataFrame({"user_id": [0] * len(ts), "ts": ts})
+        self._check(df)
+
+    def test_mixed_users_and_gaps(self):
+        import pandas as pd
+
+        base = pd.Timestamp("2026-01-01")
+        recs = []
+        for u in range(9):
+            for i in range(u * 7 + 3):
+                recs.append(
+                    {
+                        "user_id": u,
+                        "ts": base
+                        + pd.Timedelta(minutes=(i * 13 * (u + 1)) % 997),
+                    }
+                )
+        self._check(pd.DataFrame(recs).drop_duplicates(["user_id", "ts"]))
