@@ -1380,6 +1380,108 @@ def q_events_type_value_hour_corr(sf_dir: str):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def q_nation_lineitem_revenue(sf_dir: str):
+    """Four-table star join with aggregation PUSHED BELOW every join
+    (TPC-H-Q5-shaped): lineitem revenue → orders → customer → nation.
+    The fact table never crosses a join at row granularity — revenue
+    aggregates to one row per orderkey BEFORE the orderkey join, to one row
+    per custkey before the customer join, and to one row per nationkey
+    before the 25-row nation lookup; the only full exchange carries
+    (orderkey, cents) pairs. Dimensions attach via the size-gated
+    ``broadcast_join`` (hash fallback over the gate). Money is exact
+    integer cents (floor(x+0.5) = SQL half-away round for positive
+    amounts), so every sum is order-independent and hash-stable."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.blocks import safe_join
+    from vigil_ray.stages.corpus import sorted_group_sum
+    from vigil_ray.stages.joins import broadcast_join
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    per_order = sorted_group_sum(
+        li.map_batches(li_partial, batch_format="pyarrow"), ["l_orderkey"], ["cents"]
+    )
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = safe_join(
+        per_order,
+        orders,
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_custkey", "cents"]).group_by(["o_custkey"]).aggregate(
+            [("cents", "sum")]
+        )
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = sorted_group_sum(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["cents"],
+    )
+
+    customer = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_nk = broadcast_join(per_cust, customer, key="o_custkey", right_key="c_custkey")
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "revenue_cents": batch.column("cents"),
+            }
+        )
+        g = t.group_by(["nk"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["nk", "revenue_cents"])
+
+    per_nation = sorted_group_sum(
+        with_nk.map_batches(nat_partial, batch_format="pyarrow"),
+        ["nk"],
+        ["revenue_cents"],
+    )
+
+    nation = read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def nat_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nk": pc.cast(batch.column("n_nationkey"), pa.int64()),
+                "n_name": batch.column("n_name"),
+            }
+        )
+
+    named = broadcast_join(
+        per_nation, nation.map_batches(nat_key, batch_format="pyarrow"), key="nk"
+    )
+    return named.select_columns(["n_name", "revenue_cents"])
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -2997,6 +3099,7 @@ def queries() -> Dict[str, Callable]:
         "events_cohort_retention": q_events_cohort_retention,
         "source_mixture_weights": q_source_mixture_weights,
         "events_type_value_hour_corr": q_events_type_value_hour_corr,
+        "nation_lineitem_revenue": q_nation_lineitem_revenue,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3391,6 +3494,16 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT event_type, "
             "round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_vh "
             "FROM events GROUP BY event_type"
+        ),
+        "nation_lineitem_revenue": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem GROUP BY l_orderkey) "
+            "SELECT n.n_name, CAST(sum(l.cents) AS BIGINT) AS revenue_cents "
+            "FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
