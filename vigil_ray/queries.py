@@ -771,80 +771,62 @@ def q_events_asof_join(sf_dir: str):
     """As-of join (SURVEY §2 custom-operator class): for each purchase, the
     most recent click by the same user at-or-before the purchase time.
 
-    Ray shape: collect (ts, is_purchase, event_id) triples per user with an
-    ``AggregateFn`` (same pattern as sessionize / events_cumulative — NO
-    per-group UDF dispatch, which costs ~1 ms/group), then one vectorized
-    ``np.searchsorted`` backward-match per user inside a normal batch map.
-    Per-key state is bounded by one user's history (documented assumption,
-    same as sessionize). Output: (event_id, click_ts) for purchases that
-    have a preceding click."""
-    import numpy as np
+    Ray shape: the as-of backward match IS gap-fill imputation — click
+    timestamps fill forward over the (user, ts) sorted event stream
+    (``corpus.grouped_fill_forward``), and each purchase row reads the last
+    click at-or-before itself. A click ORDERS BEFORE a same-instant purchase
+    (order key includes the purchase flag), so the SQL ``c.ts <= p.ts`` tie
+    matches exactly. NO per-user collected state — the earlier collect-list
+    form's bounded-history assumption is gone. Output: (event_id, click_ts)
+    for purchases that have a preceding click."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_fill_forward
 
     ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
-    # only clicks and purchases participate — filter before the shuffle
+    # only clicks and purchases participate — filter before the sort
     ds = ds.filter(expr="event_type == 'click' or event_type == 'purchase'")
 
-    def _triples(block) -> list:
-        if isinstance(block, pa.Table):
-            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
-            return list(
-                zip(
-                    ts.to_pylist(),
-                    # int, not bool: (int,int,int) triples stay Arrow-encodable
-                    # in partial aggregate blocks (bool would force pickle)
-                    [int(t == "purchase") for t in block.column("event_type").to_pylist()],
-                    block.column("event_id").to_pylist(),
-                )
-            )
-        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
-        return list(
-            zip(
-                ts.to_pylist(),
-                [int(t == "purchase") for t in list(block["event_type"])],
-                list(block["event_id"]),
-            )
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        isp = pc.cast(
+            pc.equal(batch.column("event_type"), "purchase"), pa.int64()
         )
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda left, right: left + right,
-        name="evs",
-        accumulate_block=lambda acc, block: acc + _triples(block),
-    )
-    per_user = ds.groupby("user_id").aggregate(collect)
-
-    def match(batch: pa.Table) -> pa.Table:
-        out_ids: list = []
-        out_ts: list = []
-        for evs in batch.column("evs").to_pylist():
-            trip = [tuple(e) for e in evs]
-            click_ts = np.sort(
-                np.array([t for t, isp, _ in trip if not isp], dtype=np.int64)
-            )
-            if not len(click_ts):
-                continue
-            buys = [(t, eid) for t, isp, eid in trip if isp]
-            if not buys:
-                continue
-            buy_ts = np.array([t for t, _ in buys], dtype=np.int64)
-            idx = np.searchsorted(click_ts, buy_ts, side="right") - 1
-            ok = idx >= 0
-            out_ids.extend(eid for (t, eid), keep in zip(buys, ok) if keep)
-            out_ts.extend(click_ts[idx[ok]].tolist())
+        cts = pc.if_else(pc.equal(isp, 0), ts_us, pa.scalar(None, pa.int64()))
         return pa.table(
             {
-                "event_id": pa.array(out_ids, pa.int64()),
-                "click_ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+                "user_id": batch.column("user_id"),
+                "ts_us": ts_us,
+                "isp": isp,
+                "event_id": batch.column("event_id"),
+                "cts": cts,
             }
         )
 
-    return per_user.map_batches(match, batch_format="pyarrow")
+    filled = grouped_fill_forward(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        ["ts_us", "isp", "event_id"],
+        "cts",
+        out_col="click_us",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("isp"), 1), pc.is_valid(batch.column("click_us"))
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "click_ts": pc.cast(t.column("click_us"), pa.timestamp("us")),
+            }
+        )
+
+    return filled.map_batches(finish, batch_format="pyarrow")
 
 
 def q_events_window_join(sf_dir: str):
