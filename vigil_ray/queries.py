@@ -835,18 +835,21 @@ def q_events_window_join(sf_dir: str):
     ``[ts - 1h, ts)``. The third join flavor over event time alongside the
     as-of join (latest-before match) and the range join (static intervals).
 
-    Ray shape: same collect-list discipline as :func:`q_events_asof_join` —
-    (ts, is_purchase, event_id) triples per user via ``AggregateFn`` (no
-    per-group UDF dispatch), then TWO vectorized ``np.searchsorted`` calls
-    per user give the half-open interval count for every purchase at once:
-    ``count = ss(clicks, t, 'left') - ss(clicks, t - W, 'left')``. Per-key
-    state is bounded by one user's history. Purchases with zero preceding
-    clicks are KEPT (n = 0) so the output is one row per purchase."""
-    import numpy as np
+    Ray shape (r3 rewrite): a windowed count is the DIFFERENCE OF TWO
+    PREFIX-SCAN READS — ``C(<t) − C(<t−W)`` where C is the per-user running
+    click count. The stream explodes into click rows (weight 1) plus two
+    zero-weight PROBE rows per purchase (at ``t`` and ``t−W``, both ordered
+    BEFORE any click at the same instant, pinning the half-open bounds);
+    one ``corpus.grouped_prefix_scan`` assigns every probe its exclusive
+    running click count, and a per-purchase signed sum (upper − lower)
+    yields the interval count. NO per-user collected state — a user's
+    history streams through in block-sized pieces. Purchases with zero
+    preceding clicks are KEPT (n = 0) so the output is one row per
+    purchase."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_prefix_scan, sorted_group_sum
 
     window_us = 3_600_000_000  # 1 hour
 
@@ -855,57 +858,73 @@ def q_events_window_join(sf_dir: str):
     )
     ds = ds.filter(expr="event_type == 'click' or event_type == 'purchase'")
 
-    def _triples(block) -> list:
-        if isinstance(block, pa.Table):
-            ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
-            return list(
-                zip(
-                    ts.to_pylist(),
-                    [int(t == "purchase") for t in block.column("event_type").to_pylist()],
-                    block.column("event_id").to_pylist(),
-                )
-            )
-        ts = pc.cast(pc.cast(pa.array(block["ts"]), pa.timestamp("us")), pa.int64())
-        return list(
-            zip(
-                ts.to_pylist(),
-                [int(t == "purchase") for t in list(block["event_type"])],
-                list(block["event_id"]),
-            )
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        isp = pc.equal(batch.column("event_type"), "purchase")
+        users, eids = batch.column("user_id"), batch.column("event_id")
+
+        def const(n, v):
+            return pa.array(np.full(n, v, np.int64))
+
+        not_p = pc.invert(isp)
+        n_c = batch.num_rows - pc.sum(isp).as_py()
+        clicks = pa.table(
+            {
+                "user_id": users.filter(not_p),
+                "pos": ts.filter(not_p),
+                "kind": const(n_c, 1),
+                "pid": eids.filter(not_p),
+                "sign": const(n_c, 0),
+                "w": const(n_c, 1),
+            }
         )
+        pu, pt, pe = users.filter(isp), ts.filter(isp), eids.filter(isp)
+        n_p = len(pe)
+        upper = pa.table(
+            {
+                "user_id": pu,
+                "pos": pt,
+                "kind": const(n_p, 0),
+                "pid": pe,
+                "sign": const(n_p, 1),
+                "w": const(n_p, 0),
+            }
+        )
+        lower = pa.table(
+            {
+                "user_id": pu,
+                "pos": pc.subtract(pt, pa.scalar(window_us, pa.int64())),
+                "kind": const(n_p, 0),
+                "pid": pe,
+                "sign": const(n_p, -1),
+                "w": const(n_p, 0),
+            }
+        )
+        return pa.concat_tables([clicks, upper, lower]).combine_chunks()
 
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda left, right: left + right,
-        name="evs",
-        accumulate_block=lambda acc, block: acc + _triples(block),
+    scanned = grouped_prefix_scan(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["user_id"],
+        ["pos", "kind", "pid", "sign"],
+        cost_col="w",
     )
-    per_user = ds.groupby("user_id").aggregate(collect)
 
-    def count_window(batch: pa.Table) -> pa.Table:
-        out_ids: list = []
-        out_n: list = []
-        for evs in batch.column("evs").to_pylist():
-            trip = [tuple(e) for e in evs]
-            buys = [(t, eid) for t, isp, eid in trip if isp]
-            if not buys:
-                continue
-            click_ts = np.sort(
-                np.array([t for t, isp, _ in trip if not isp], dtype=np.int64)
-            )
-            buy_ts = np.array([t for t, _ in buys], dtype=np.int64)
-            hi = np.searchsorted(click_ts, buy_ts, side="left")
-            lo = np.searchsorted(click_ts, buy_ts - window_us, side="left")
-            out_ids.extend(eid for _, eid in buys)
-            out_n.extend((hi - lo).tolist())
+    def probe_contrib(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), 0))
         return pa.table(
             {
-                "event_id": pa.array(out_ids, pa.int64()),
-                "n_clicks_1h": pa.array(out_n, pa.int64()),
+                "event_id": t.column("pid"),
+                "n_clicks_1h": pc.multiply(t.column("sign"), t.column("cum_excl")),
             }
         )
 
-    return per_user.map_batches(count_window, batch_format="pyarrow")
+    return sorted_group_sum(
+        scanned.map_batches(probe_contrib, batch_format="pyarrow"),
+        ["event_id"],
+        ["n_clicks_1h"],
+    )
 
 
 def q_events_threshold_sweep(sf_dir: str):
