@@ -909,3 +909,69 @@ class TestSessionizeFragmentMerge:
                     }
                 )
         self._check(pd.DataFrame(recs).drop_duplicates(["user_id", "ts"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnelAutomatonFragments:
+    def _check(self, rows, stages=("signup", "click", "purchase")):
+        import pandas as pd
+        import ray.data as rd
+
+        from vigil_ray.stages.sessions import funnel_counts
+
+        df = pd.DataFrame(rows)
+        out = funnel_counts(rd.from_pandas(df).repartition(9), stages)
+        got = dict(zip(out.column("stage").to_pylist(), out.column("n_users").to_pylist()))
+        # reference: per-user greedy min-after-cutoff (the SQL oracle's form)
+        want = {s: 0 for s in stages}
+        for _, g in df.groupby("user_id"):
+            cutoff = None
+            for s in stages:
+                ts = [
+                    t
+                    for t, e in zip(g["ts"], g["event_type"])
+                    if e == s and (cutoff is None or t > cutoff)
+                ]
+                if not ts:
+                    break
+                cutoff = min(ts)
+                want[s] += 1
+        assert got == want
+
+    def test_hot_user_funnel_spanning_blocks(self):
+        # one user's 300 events span every sorted block; the automaton state
+        # (stage + cutoff) must thread through the fragment fold
+        rows = []
+        for i in range(300):
+            et = ["signup", "click", "purchase"][0 if i < 5 else (1 if i % 3 else 2)]
+            rows.append({"user_id": 0, "ts": 1000 + i, "event_type": et})
+        rows += [{"user_id": 1, "ts": i, "event_type": "signup"} for i in range(4)]
+        self._check(rows)
+
+    def test_boundary_timestamp_ties(self):
+        # stage events at IDENTICAL timestamps: 'strictly after' must not
+        # advance on a tied ts even when the tie crosses a block boundary
+        rows = []
+        for u in range(6):
+            rows += [
+                {"user_id": u, "ts": 100, "event_type": "signup"},
+                {"user_id": u, "ts": 100, "event_type": "click"},   # tied → no
+                {"user_id": u, "ts": 101 + u % 2, "event_type": "click"},
+                {"user_id": u, "ts": 101 + u % 2, "event_type": "purchase"},  # tied → no
+            ]
+        # a hot user with many tied rows to force ties at block edges
+        rows += [{"user_id": 9, "ts": 500, "event_type": "signup"}] + [
+            {"user_id": 9, "ts": 500, "event_type": "click"} for _ in range(80)
+        ] + [{"user_id": 9, "ts": 501, "event_type": "click"}] + [
+            {"user_id": 9, "ts": 501, "event_type": "purchase"} for _ in range(40)
+        ] + [{"user_id": 9, "ts": 502, "event_type": "purchase"}]
+        self._check(rows)
+
+    def test_stage_order_vs_time_order(self):
+        # purchase before click before signup in time → only signup reached
+        rows = [
+            {"user_id": 0, "ts": 1, "event_type": "purchase"},
+            {"user_id": 0, "ts": 2, "event_type": "click"},
+            {"user_id": 0, "ts": 3, "event_type": "signup"},
+        ]
+        self._check(rows)

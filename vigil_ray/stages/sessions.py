@@ -165,61 +165,174 @@ def sessionize(ds, gap_minutes: int = 30):
 def funnel_counts(ds, stages_types, user_col: str = "user_id", ts_col: str = "ts"):
     """Ordered funnel (sequential-pattern operator): how many users performed
     stage 1, then stage 2 strictly after their first stage-1 event, then
-    stage 3 strictly after that, ... Per-user event histories are gathered
-    with the collect-list aggregate (bounded by one user's history — the
-    sessionize assumption) and each user's stage times resolve in one
-    vectorized pass; global counts are partial sums. Returns a
-    (stage, n_users) table in funnel order."""
+    stage 3 strictly after that, ... Returns a (stage, n_users) table in
+    funnel order.
+
+    r3 rewrite — sorted-stream AUTOMATON FRAGMENTS, no per-user collected
+    state: one global sort by (user, ts, stage) pins per-user runs; the
+    funnel's forward scan (state = next stage needed + cutoff ts) replays
+    each INTERIOR run directly (those users are complete within the block),
+    and each block's first/last run emits a fragment TRANSITION TABLE — the
+    automaton's exit ``(stage, cutoff)`` for every entry stage × a
+    boundary-tie flag. The table is finite because the stream is ts-sorted:
+    an entry cutoff from earlier fragments can only be < the fragment's
+    first ts, or exactly EQUAL it (the tie flag); it can never exceed it.
+    The driver folds ≤2 fragments per block. Determinism caveat: fragments
+    of one user fold in (first_ts, first_stage) order — unique unless a
+    single (user, ts, stage) triple spans 3+ blocks, where any fold order
+    ties to the same cutoff anyway."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn, Sum
 
-    type_code = {t: i for i, t in enumerate(stages_types)}
+    from vigil_ray.stages.blocks import coalesce_blocks, compact_blocks
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
 
-    def _pairs(block) -> list:
-        ts = pc.cast(pc.cast(block.column(ts_col), pa.timestamp("us")), pa.int64())
-        return [
-            (t, type_code[e])
-            for t, e in zip(ts.to_pylist(), block.column("event_type").to_pylist())
-            if e in type_code
-        ]
+    K = len(stages_types)
+    stage_arr = pa.array(list(stages_types), pa.string())
 
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: a + b,
-        name="evs",
-        accumulate_block=lambda acc, block: acc + _pairs(block),
-    )
-    per_user = ds.groupby(user_col).aggregate(collect)
-    n_stages = len(stages_types)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        reached = [0] * n_stages
-        for evs in batch.column("evs").to_pylist():
-            by_code: dict = {}
-            for t, c in (tuple(e) for e in evs):
-                by_code.setdefault(c, []).append(t)
-            cutoff = -1
-            for s in range(n_stages):
-                nxt = [t for t in by_code.get(s, ()) if t > cutoff]
-                if not nxt:
-                    break
-                cutoff = min(nxt)
-                reached[s] += 1
-        return pa.table(
-            {
-                f"s{i}": pa.array([reached[i]], pa.int64())
-                for i in range(n_stages)
-            }
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), value_set=stage_arr)
+        t = batch.filter(keep)
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        code = pc.cast(
+            pc.index_in(t.column("event_type"), value_set=stage_arr), pa.int64()
         )
+        return pa.table({user_col: t.column(user_col), "ts_us": ts, "code": code})
 
-    agg = per_user.map_batches(partial, batch_format="pyarrow").aggregate(
-        *[Sum(f"s{i}", alias_name=f"s{i}") for i in range(n_stages)]
+    ds_sorted = compact_blocks(
+        coalesce_blocks(ds.map_batches(prep, batch_format="pyarrow")).sort(
+            [user_col, "ts_us", "code"]
+        )
     )
+
+    def replay(ts, code, s0: int, entry_tie: bool):
+        """Forward-scan the automaton from entry stage ``s0``; ``entry_tie``
+        means the (unknown) entry cutoff equals ts[0]. Returns (exit stage,
+        exit cutoff or None = inherit entry cutoff)."""
+        s, cut = s0, None
+        first = ts[0]
+        for t, c in zip(ts, code):
+            if s >= K:
+                break
+            if c != s:
+                continue
+            if cut is None:
+                if entry_tie and t == first:
+                    continue  # not strictly after the entry cutoff
+            elif t <= cut:
+                continue
+            s += 1
+            cut = int(t)
+        return s, cut
+
+    frag_cols = [
+        (f"exit_s_{s0}_{tie}", f"exit_c_{s0}_{tie}")
+        for s0 in range(K)
+        for tie in (0, 1)
+    ]
+
+    def _empty(utype):
+        cols = {
+            "is_frag": pa.array([], pa.bool_()),
+            user_col: pa.nulls(0, utype),
+            "first_ts": pa.nulls(0, pa.int64()),
+            "first_code": pa.nulls(0, pa.int64()),
+        }
+        for sc, cc in frag_cols:
+            cols[sc] = pa.nulls(0, pa.int64())
+            cols[cc] = pa.nulls(0, pa.int64())
+        for s in range(K):
+            cols[f"cnt_{s}"] = pa.nulls(0, pa.int64())
+        return pa.table(cols)
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        utype = batch.column(user_col).type
+        if batch.num_rows == 0:
+            return _empty(utype)
+        ts = batch.column("ts_us").combine_chunks().to_numpy(zero_copy_only=False)
+        code = batch.column("code").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = _run_starts_impl(batch, [user_col])
+        ends = list(starts[1:]) + [batch.num_rows]
+        nruns = len(starts)
+        reached = [0] * K
+        frag_rows: list = []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            a, b = int(a), int(b)
+            if i == 0 or i == nruns - 1:  # boundary run → fragment
+                row = {
+                    "first_ts": int(ts[a]),
+                    "first_code": int(code[a]),
+                    "__user_idx": a,
+                }
+                for s0 in range(K):
+                    for tie in (0, 1):
+                        es, ec = replay(ts[a:b], code[a:b], s0, bool(tie))
+                        row[f"exit_s_{s0}_{tie}"] = es
+                        row[f"exit_c_{s0}_{tie}"] = ec
+                frag_rows.append(row)
+            else:  # complete user: replay from scratch and count
+                s, _ = replay(ts[a:b], code[a:b], 0, False)
+                for j in range(s):
+                    reached[j] += 1
+        n_f = len(frag_rows)
+        cols = {
+            "is_frag": pa.array([True] * n_f + [False]),
+            user_col: pa.concat_arrays(
+                [
+                    batch.column(user_col)
+                    .take(pa.array([r["__user_idx"] for r in frag_rows], pa.int64()))
+                    .combine_chunks(),
+                    pa.nulls(1, utype),
+                ]
+            ),
+            "first_ts": pa.array(
+                [r["first_ts"] for r in frag_rows] + [None], pa.int64()
+            ),
+            "first_code": pa.array(
+                [r["first_code"] for r in frag_rows] + [None], pa.int64()
+            ),
+        }
+        for sc, cc in frag_cols:
+            cols[sc] = pa.array([r[sc] for r in frag_rows] + [None], pa.int64())
+            cols[cc] = pa.array([r[cc] for r in frag_rows] + [None], pa.int64())
+        for s in range(K):
+            cols[f"cnt_{s}"] = pa.array([None] * n_f + [reached[s]], pa.int64())
+        return pa.table(cols)
+
+    rows = ds_sorted.map_batches(
+        block_stats, batch_format="pyarrow", batch_size=None
+    ).take_all()  # 1 counts row + ≤2 fragment rows per block
+
+    totals = [0] * K
+    frags = []
+    for r in rows:
+        if r["is_frag"]:
+            frags.append(r)
+        else:
+            for s in range(K):
+                totals[s] += r[f"cnt_{s}"] or 0
+
+    frags.sort(key=lambda r: (r[user_col], r["first_ts"], r["first_code"]))
+    i = 0
+    while i < len(frags):
+        j = i
+        s, cut = 0, None
+        while j < len(frags) and frags[j][user_col] == frags[i][user_col]:
+            f = frags[j]
+            if s < K:
+                tie = 1 if (cut is not None and cut == f["first_ts"]) else 0
+                new_s = f[f"exit_s_{s}_{tie}"]
+                new_c = f[f"exit_c_{s}_{tie}"]
+                if new_c is not None:
+                    cut = new_c
+                s = new_s
+            j += 1
+        for k_ in range(s):
+            totals[k_] += 1
+        i = j
+
     return pa.table(
         {
             "stage": pa.array(list(stages_types), pa.string()),
-            "n_users": pa.array(
-                [int(agg[f"s{i}"] or 0) for i in range(n_stages)], pa.int64()
-            ),
+            "n_users": pa.array(totals, pa.int64()),
         }
     )
