@@ -1483,6 +1483,51 @@ def q_nation_lineitem_revenue(sf_dir: str):
     return named.select_columns(["n_name", "revenue_cents"])
 
 
+def q_events_id_islands(sf_dir: str):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event_ids per user —
+    the classic sequence-integrity analytic (missing-record detection in an
+    ingest log). SQL trick: ``id − row_number() OVER (PARTITION BY user
+    ORDER BY id)`` is constant within an island. Ray shape:
+    ``corpus.grouped_prefix_scan`` assigns the row rank with no per-key
+    state, the island key derives vectorized, and ``sorted_group_agg``
+    reduces each (user, island) to (start, end, n) with run-adjacency
+    min/max/sum — no per-group UDF anywhere."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_prefix_scan, sorted_group_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+    ranked = grouped_prefix_scan(ds, ["user_id"], ["event_id"])  # 0-based rank
+
+    def island_key(batch: pa.Table) -> pa.Table:
+        grp = pc.subtract(
+            batch.column("event_id"),
+            pc.add(pc.cast(batch.column("cum_excl"), pa.int64()), 1),
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "grp": grp,
+                "island_start": batch.column("event_id"),
+                "island_end": batch.column("event_id"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    agg = sorted_group_agg(
+        ranked.map_batches(island_key, batch_format="pyarrow"),
+        ["user_id", "grp"],
+        [
+            ("island_start", "min", "island_start"),
+            ("island_end", "max", "island_end"),
+            ("n", "sum", "n"),
+        ],
+    )
+    return agg.select_columns(["user_id", "island_start", "island_end", "n"])
+
+
 def q_doc_top_tfidf(sf_dir: str):
     """Per-document top tf-idf term, FULLY DISTRIBUTED — no driver-side
     vocabulary materialization and no whole-idf broadcast (a web corpus's
@@ -3101,6 +3146,7 @@ def queries() -> Dict[str, Callable]:
         "source_mixture_weights": q_source_mixture_weights,
         "events_type_value_hour_corr": q_events_type_value_hour_corr,
         "nation_lineitem_revenue": q_nation_lineitem_revenue,
+        "events_id_islands": q_events_id_islands,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3505,6 +3551,13 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "events_id_islands": (
+            "WITH r AS (SELECT user_id, event_id, event_id - row_number() "
+            "OVER (PARTITION BY user_id ORDER BY event_id) AS grp FROM events) "
+            "SELECT user_id, min(event_id) AS island_start, "
+            "max(event_id) AS island_end, CAST(count(*) AS BIGINT) AS n "
+            "FROM r GROUP BY user_id, grp"
         ),
         "events_asof_join": (
             "SELECT p.event_id, max(c.ts) AS click_ts "
