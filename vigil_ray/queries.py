@@ -1760,6 +1760,41 @@ def q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def q_doc_length_quantiles_cont(sf_dir: str):
+    """INTERPOLATED (R-7 / ``quantile_cont``) quantiles of document length —
+    the continuous companion of the exact order-statistic query above, same
+    scale shape: ONE (value, count) histogram pass (shuffle moves only
+    distinct values), rank selection + linear interpolation on the tiny
+    driver-side histogram: ``h = (n−1)q; v = v[⌊h⌋] + (h−⌊h⌋)(v[⌈h⌉] −
+    v[⌊h⌋])``. round(6) absorbs the interpolation's float-op-order ulps vs
+    the SQL aggregate."""
+    ds = _docs(sf_dir, ["n_chars"])
+    hist = ds.groupby("n_chars").count().to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    counts = hist["count()"].to_numpy()
+    values = hist["n_chars"].to_numpy().astype(float)
+    cum = counts.cumsum()
+    n = int(cum[-1])
+
+    def value_at(rank: int) -> float:
+        return float(values[int((cum <= rank).sum())])
+
+    qs_out, vals = [], []
+    for q in (0.25, 0.5, 0.9):
+        h = (n - 1) * q
+        lo = int(h)
+        hi = min(lo + 1, n - 1)
+        v_lo, v_hi = value_at(lo), value_at(hi)
+        qs_out.append(q)
+        vals.append(round(v_lo + (h - lo) * (v_hi - v_lo), 6))
+    return pa.table(
+        {
+            "q": pa.array(qs_out, pa.float64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -3147,6 +3182,7 @@ def queries() -> Dict[str, Callable]:
         "events_type_value_hour_corr": q_events_type_value_hour_corr,
         "nation_lineitem_revenue": q_nation_lineitem_revenue,
         "events_id_islands": q_events_id_islands,
+        "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3599,6 +3635,14 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT CAST(q AS DOUBLE) AS q, n_chars "
             "FROM (VALUES (0.25), (0.5), (0.9)) AS qs(q) "
             "JOIN ranked ON ranked.rk = CAST(floor((ranked.n - 1) * qs.q) AS BIGINT)"
+        ),
+        "doc_length_quantiles_cont": (
+            "SELECT CAST(0.25 AS DOUBLE) AS q, "
+            "round(quantile_cont(n_chars, 0.25), 6) AS v FROM documents "
+            "UNION ALL SELECT CAST(0.5 AS DOUBLE), "
+            "round(quantile_cont(n_chars, 0.5), 6) FROM documents "
+            "UNION ALL SELECT CAST(0.9 AS DOUBLE), "
+            "round(quantile_cont(n_chars, 0.9), 6) FROM documents"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_names": (
