@@ -1795,6 +1795,92 @@ def q_doc_length_quantiles_cont(sf_dir: str):
     )
 
 
+def q_doc_length_mad(sf_dir: str):
+    """Median absolute deviation of document length — the ROBUST dispersion
+    statistic of outlier-tolerant quality filtering. One (value, count)
+    histogram pass is sufficient for BOTH medians: the deviation histogram
+    |v − median| with the same counts derives on the driver from the value
+    histogram, so the corpus is read once and nothing corpus-sized moves.
+    Matches DuckDB ``mad()`` exactly (interpolated median both levels)."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["n_chars"])
+    hist = ds.groupby("n_chars").count().to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    counts = hist["count()"].to_numpy().astype(np.int64)
+    values = hist["n_chars"].to_numpy().astype(float)
+
+    def interp_median(vals: np.ndarray, cnts: np.ndarray) -> float:
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        h = (n - 1) * 0.5
+        lo, frac = int(h), h - int(h)
+        v_lo = float(vals[int((cum <= lo).sum())])
+        v_hi = float(vals[int((cum <= min(lo + 1, n - 1)).sum())])
+        return v_lo + frac * (v_hi - v_lo)
+
+    med = interp_median(values, counts)
+    mad = interp_median(np.abs(values - med), counts)
+    return pa.table({"mad_n_chars": pa.array([round(mad, 6)], pa.float64())})
+
+
+def q_events_type_value_trend(sf_dir: str):
+    """Per-event-type least-squares slope of value vs hour of day
+    (``regr_slope`` — the trend scan next to the correlation scan). Same
+    map-side sufficient-statistics shape as ``events_type_value_hour_corr``:
+    (n, Σx, Σy, Σxx, Σxy) per type per block, native groupby merges the
+    bounded partials, closed form on the driver-sized result, round(6)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from vigil_ray.sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(batch.column("value"), pa.float64())
+        x = pc.cast(pc.hour(batch.column("ts")), pa.float64())
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(batch.num_rows, np.float64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "sxy"]])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        slope = np.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "slope": pa.array(slope, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -3183,6 +3269,8 @@ def queries() -> Dict[str, Callable]:
         "nation_lineitem_revenue": q_nation_lineitem_revenue,
         "events_id_islands": q_events_id_islands,
         "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
+        "doc_length_mad": q_doc_length_mad,
+        "events_type_value_trend": q_events_type_value_trend,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3643,6 +3731,14 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "round(quantile_cont(n_chars, 0.5), 6) FROM documents "
             "UNION ALL SELECT CAST(0.9 AS DOUBLE), "
             "round(quantile_cont(n_chars, 0.9), 6) FROM documents"
+        ),
+        "doc_length_mad": (
+            "SELECT round(mad(n_chars), 6) AS mad_n_chars FROM documents"
+        ),
+        "events_type_value_trend": (
+            "SELECT event_type, "
+            "round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope "
+            "FROM events GROUP BY event_type"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_names": (
