@@ -975,3 +975,60 @@ class TestFunnelAutomatonFragments:
             {"user_id": 0, "ts": 3, "event_type": "signup"},
         ]
         self._check(rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShiftTimestampCarry:
+    def test_lead_timestamp_values_across_blocks(self):
+        # timestamp-typed value column: the driver edge handoff must rebuild
+        # the carry as a timestamp scalar (pa.array([Timestamp], ts-type))
+        import pandas as pd
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import grouped_shift
+
+        base = pd.Timestamp("2026-03-01")
+        df = pd.DataFrame(
+            {
+                "u": [0] * 60 + [1] * 5,
+                "t": list(range(60)) + list(range(5)),
+            }
+        )
+        df["ts"] = [base + pd.Timedelta(minutes=i) for i in range(65)]
+        out = (
+            grouped_shift(
+                rd.from_pandas(df).repartition(8), ["u"], ["t"], "ts",
+                periods=-1, out_col="next_ts",
+            )
+            .to_pandas()
+            .sort_values(["u", "t"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["u", "t"]).reset_index(drop=True)
+        want["next_ts"] = want.groupby("u")["ts"].shift(-1)
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+    def test_fill_forward_timestamp_values(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import grouped_fill_forward
+
+        base = pd.Timestamp("2026-03-01")
+        df = pd.DataFrame({"u": [0] * 40, "t": list(range(40))})
+        df["v"] = [base + pd.Timedelta(hours=i) if i % 7 == 0 else pd.NaT for i in range(40)]
+        out = (
+            grouped_fill_forward(
+                rd.from_pandas(df).repartition(6), ["u"], ["t"], "v", out_col="f"
+            )
+            .to_pandas()
+            .sort_values(["u", "t"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["u", "t"]).reset_index(drop=True)
+        want["f"] = want.groupby("u")["v"].ffill()
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(out[want.columns], want, check_dtype=False)
