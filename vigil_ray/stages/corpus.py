@@ -641,6 +641,26 @@ def grouped_prefix_scan(
     return ds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
 
 
+def _resolve_value_type(ds, value_col: str):
+    """The value column's Arrow type from the Dataset schema, with a float64
+    fallback for null-typed / untyped columns. Pandas-backed blocks report
+    NUMPY dtypes from ``ds.schema()`` (found by property test: an all-None
+    object column is not a ``pa.DataType`` and ``pa.types.is_null`` raises),
+    so non-Arrow entries are mapped via ``pa.from_numpy_dtype`` first."""
+    schema = ds.schema()
+    vtype = None
+    if schema is not None:
+        vtype = dict(zip(schema.names, schema.types)).get(value_col)
+    if vtype is not None and not isinstance(vtype, pa.DataType):
+        try:
+            vtype = pa.from_numpy_dtype(vtype)
+        except (TypeError, pa.lib.ArrowNotImplementedError):
+            vtype = None
+    if vtype is None or pa.types.is_null(vtype):
+        vtype = pa.float64()
+    return vtype
+
+
 def grouped_fill_forward(
     ds,
     key_cols: Sequence[str],
@@ -674,12 +694,7 @@ def grouped_fill_forward(
     # resolve the value type ONCE on the driver: an all-null block reports a
     # `null`-typed column (from_items / filtered inputs), and the fill pass
     # must emit one consistent type across blocks
-    schema = ds.schema()
-    vtype_global = None
-    if schema is not None:
-        vtype_global = dict(zip(schema.names, schema.types)).get(value_col)
-    if vtype_global is None or pa.types.is_null(vtype_global):
-        vtype_global = pa.float64()
+    vtype_global = _resolve_value_type(ds, value_col)
 
     def _vcol(batch: pa.Table):
         import pyarrow.compute as _pc
@@ -811,12 +826,7 @@ def grouped_shift(
     sort_cols = key_cols + order_cols
     ds = compact_blocks(coalesce_blocks(ds).sort(sort_cols))
 
-    schema = ds.schema()
-    vtype = None
-    if schema is not None:
-        vtype = dict(zip(schema.names, schema.types)).get(value_col)
-    if vtype is None or pa.types.is_null(vtype):
-        vtype = pa.float64()
+    vtype = _resolve_value_type(ds, value_col)
 
     def _vcol(batch: pa.Table):
         col = batch.column(value_col).combine_chunks()
