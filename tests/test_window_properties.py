@@ -103,3 +103,95 @@ class TestWindowPrimitiveProperties:
         want = df.sort_values(["u", "t"]).reset_index(drop=True)
         want["cum_excl"] = want.groupby("u")["c"].cumsum() - want["c"]
         pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMonoidOpProperties:
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # user (heavy collisions)
+                st.integers(min_value=0, max_value=200),    # minute offset (forces ties)
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        nblocks=st.integers(min_value=1, max_value=7),
+        gap_minutes=st.sampled_from([1, 5, 30]),
+    )
+    @settings(**_SETTINGS)
+    def test_sessionize_matches_pandas(self, rows, nblocks, gap_minutes):
+        from vigil_ray.stages.sessions import sessionize
+
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+            }
+        )
+        out = (
+            sessionize(_ds(df, nblocks), gap_minutes=gap_minutes)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        gap = pd.Timedelta(minutes=gap_minutes)
+        recs = []
+        for u, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+            d = g["ts"].diff()
+            new = d.gt(gap) | d.isna()
+            sizes = new.cumsum().value_counts()
+            recs.append(
+                {
+                    "user_id": u,
+                    "n_sessions": int(new.sum()),
+                    "n_events": len(g),
+                    "max_session_events": int(sizes.max()),
+                }
+            )
+        want = pd.DataFrame(recs).sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # user
+                st.integers(min_value=0, max_value=20),  # ts (forces ties)
+                st.sampled_from(["signup", "click", "purchase", "view"]),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        nblocks=st.integers(min_value=1, max_value=7),
+    )
+    @settings(**_SETTINGS)
+    def test_funnel_matches_greedy_reference(self, rows, nblocks):
+        from vigil_ray.stages.sessions import funnel_counts
+
+        stages = ("signup", "click", "purchase")
+        df = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+        out = funnel_counts(_ds(df, nblocks), stages)
+        got = dict(
+            zip(out.column("stage").to_pylist(), out.column("n_users").to_pylist())
+        )
+        want = {s: 0 for s in stages}
+        for _, g in df.groupby("user_id"):
+            cutoff = None
+            for s in stages:
+                ts = [
+                    t
+                    for t, e in zip(g["ts"], g["event_type"])
+                    if e == s and (cutoff is None or t > cutoff)
+                ]
+                if not ts:
+                    break
+                cutoff = min(ts)
+                want[s] += 1
+        assert got == want
