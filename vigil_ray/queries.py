@@ -1881,6 +1881,95 @@ def q_events_type_value_trend(sf_dir: str):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def q_docs_ols_fit(sf_dir: str):
+    """Distributed closed-form least squares — train a linear length model
+    y = b0 + b1·x1 + b2·x2 (y = char count, x1 = ws-token count, x2 = count
+    of the letter 'e' — a varying second feature; line count is constant in
+    this corpus and would make the normal matrix singular) by the normal
+    equations. Each block emits TEN integer sufficient
+    statistics (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²); the
+    whole "training" run moves ten int64s per block regardless of corpus
+    size, and the 3×3 Cramer solve folds the block-count-sized partial list
+    on the driver in exact arbitrary-precision integer arithmetic — the same
+    numbers the SQL oracle reproduces with HUGEINT determinants, so the
+    coefficients match to the bit before rounding. (At 10^12 rows Σy² can
+    exceed int64: the per-block partials stay exact and the driver fold is
+    Python big-int, so only the Arrow partial column type would need
+    widening — documented, not hit at any test scale.)"""
+    import numpy as np
+
+    from vigil_ray.kernel.textstats import count_ws_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        y = np.array([len(t or "") for t in texts], np.int64)
+        x1 = np.array([count_ws_tokens(t or "") for t in texts], np.int64)
+        x2 = np.array([(t or "").count("e") for t in texts], np.int64)
+        sums = [
+            len(texts),
+            int(x1.sum()),
+            int(x2.sum()),
+            int(y.sum()),
+            int((x1 * x1).sum()),
+            int((x1 * x2).sum()),
+            int((x2 * x2).sum()),
+            int((x1 * y).sum()),
+            int((x2 * y).sum()),
+            int((y * y).sum()),
+        ]
+        names = ["n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in zip(names, sums)})
+
+    rows = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow").take_all()
+    # block-count-sized fold, exact Python ints (never overflows)
+    n = sum(r["n"] for r in rows)
+    sx1 = sum(r["sx1"] for r in rows)
+    sx2 = sum(r["sx2"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    s11 = sum(r["s11"] for r in rows)
+    s12 = sum(r["s12"] for r in rows)
+    s22 = sum(r["s22"] for r in rows)
+    s1y = sum(r["s1y"] for r in rows)
+    s2y = sum(r["s2y"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+
+    # Cramer on the symmetric normal matrix [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]]
+    det = n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (
+        sx1 * s12 - s11 * sx2
+    )
+    det0 = sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) + sx2 * (
+        s1y * s12 - s11 * s2y
+    )
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) + sx2 * (
+        sx1 * s2y - s1y * sx2
+    )
+    det2 = n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) + sy * (
+        sx1 * s12 - s11 * sx2
+    )
+    b0 = float(det0) / float(det)
+    b1 = float(det1) / float(det)
+    b2 = float(det2) / float(det)
+    # expression order mirrors the SQL oracle exactly (double determinism)
+    sse = float(syy) - b0 * float(sy) - b1 * float(s1y) - b2 * float(s2y)
+    sst = float(syy) - float(sy) * float(sy) / float(n)
+    r2 = 1.0 - sse / sst
+
+    def _r6(x: float) -> float:
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "b0": pa.array([_r6(b0)], pa.float64()),
+            "b1": pa.array([_r6(b1)], pa.float64()),
+            "b2": pa.array([_r6(b2)], pa.float64()),
+            "r2": pa.array([_r6(r2)], pa.float64()),
+        }
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -3271,6 +3360,7 @@ def queries() -> Dict[str, Callable]:
         "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
         "doc_length_mad": q_doc_length_mad,
         "events_type_value_trend": q_events_type_value_trend,
+        "docs_ols_fit": q_docs_ols_fit,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3739,6 +3829,33 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT event_type, "
             "round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope "
             "FROM events GROUP BY event_type"
+        ),
+        "docs_ols_fit": (
+            "WITH f AS (SELECT CAST(length(text) AS BIGINT) AS y, "
+            "  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "  array_length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS x1, "
+            "  CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x2 "
+            "  FROM documents), "
+            "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "  CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2, "
+            "  CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x1*x1) AS HUGEINT) AS s11, "
+            "  CAST(sum(x1*x2) AS HUGEINT) AS s12, CAST(sum(x2*x2) AS HUGEINT) AS s22, "
+            "  CAST(sum(x1*y) AS HUGEINT) AS s1y, CAST(sum(x2*y) AS HUGEINT) AS s2y, "
+            "  CAST(sum(y*y) AS HUGEINT) AS syy FROM f), "
+            "d AS (SELECT *, "
+            "  n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det, "
+            "  sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0, "
+            "  n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1, "
+            "  n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2 "
+            "  FROM s), "
+            "b AS (SELECT *, CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) AS b0r, "
+            "  CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) AS b1r, "
+            "  CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) AS b2r FROM d) "
+            "SELECT CAST(n AS BIGINT) AS n, round(b0r, 6) AS b0, round(b1r, 6) AS b1, "
+            "round(b2r, 6) AS b2, "
+            "round(1 - (CAST(syy AS DOUBLE) - b0r*CAST(sy AS DOUBLE) - b1r*CAST(s1y AS DOUBLE) "
+            "- b2r*CAST(s2y AS DOUBLE)) / (CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)), 6) AS r2 FROM b"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_names": (
