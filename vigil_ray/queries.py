@@ -1970,6 +1970,78 @@ def q_docs_ols_fit(sf_dir: str):
     )
 
 
+def q_events_value_percent_rank(sf_dir: str):
+    """Per-user ``percent_rank()`` (SQL ``percent_rank() OVER (PARTITION BY
+    user ORDER BY value)``, min-rank tie semantics) — composed entirely from
+    the sorted-block primitive family, no per-key collected state:
+
+    1. ``grouped_prefix_scan`` keyed on user, ordered by (value, id) → the
+       0-based row rank r within the user;
+    2. a second scan keyed on (user, value), ordered by id → the 0-based
+       position p inside the tie run; min-rank₀ = r − p (the SQL rank() of
+       tied values is the rank of the FIRST row of the run);
+    3. per-user totals from a users-sized ``sorted_group_sum`` table,
+       attached with the size-gated broadcast join (falls back to the hash
+       exchange past the gate — 10^8-user-safe).
+
+    percent_rank = min-rank₀ / (n − 1), 0 when n = 1; half-away round(6)
+    matches DuckDB."""
+    import numpy as np
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_prefix_scan, sorted_group_sum
+    from vigil_ray.stages.joins import broadcast_join
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+
+    def _rename(col_from: str, col_to: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [col_to if n == col_from else n for n in b.column_names]
+            )
+
+        return f
+
+    s1 = grouped_prefix_scan(ds, ["user_id"], ["value", "event_id"]).map_batches(
+        _rename("cum_excl", "r0"), batch_format="pyarrow"
+    )
+    s2 = grouped_prefix_scan(s1, ["user_id", "value"], ["event_id"]).map_batches(
+        _rename("cum_excl", "p0"), batch_format="pyarrow"
+    )
+
+    def add_ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ones": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    counts = sorted_group_sum(
+        ds.map_batches(add_ones, batch_format="pyarrow"), ["user_id"], ["ones"]
+    ).map_batches(_rename("ones", "n_user"), batch_format="pyarrow")
+
+    joined = broadcast_join(s2, counts, key="user_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        r0 = b.column("r0").to_numpy(zero_copy_only=False).astype(np.int64)
+        p0 = b.column("p0").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("n_user").to_numpy(zero_copy_only=False).astype(np.int64)
+        mr = (r0 - p0).astype(np.float64)
+        pct = np.where(n > 1, mr / np.maximum(n - 1, 1), 0.0)
+        pct = np.floor(pct * 1e6 + 0.5) / 1e6  # pct >= 0: half-away == this
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "value": b.column("value"),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -3361,6 +3433,7 @@ def queries() -> Dict[str, Callable]:
         "doc_length_mad": q_doc_length_mad,
         "events_type_value_trend": q_events_type_value_trend,
         "docs_ols_fit": q_docs_ols_fit,
+        "events_value_percent_rank": q_events_value_percent_rank,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3829,6 +3902,11 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT event_type, "
             "round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope "
             "FROM events GROUP BY event_type"
+        ),
+        "events_value_percent_rank": (
+            "SELECT event_id, user_id, value, "
+            "round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) "
+            "AS pct_rank FROM events"
         ),
         "docs_ols_fit": (
             "WITH f AS (SELECT CAST(length(text) AS BIGINT) AS y, "
