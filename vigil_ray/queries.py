@@ -2042,6 +2042,18 @@ def q_events_value_percent_rank(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_embeddings_kmeans_assign(sf_dir: str):
+    """Distributed k-means assignment step (the Lloyd inner loop) over the
+    embeddings table — int8-quantized so the whole step is integer-exact and
+    the oracle recomputes identical assignments/inertia with
+    ``list_dot_product`` (see ``stages/embeddings.kmeans_assign_step``)."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.embeddings import kmeans_assign_step
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign_step(ds, k=8)
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -3434,6 +3446,7 @@ def queries() -> Dict[str, Callable]:
         "events_type_value_trend": q_events_type_value_trend,
         "docs_ols_fit": q_docs_ols_fit,
         "events_value_percent_rank": q_events_value_percent_rank,
+        "embeddings_kmeans_assign": q_embeddings_kmeans_assign,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3907,6 +3920,25 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT event_id, user_id, value, "
             "round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) "
             "AS pct_rank FROM events"
+        ),
+        "embeddings_kmeans_assign": (
+            "WITH m AS (SELECT vec_id, embedding, "
+            "  list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS mx "
+            "  FROM embeddings), "
+            "q AS (SELECT vec_id, list_transform(embedding, x -> "
+            "  CASE WHEN CAST(x AS DOUBLE) * (127.0/mx) >= 0 "
+            "  THEN floor(CAST(x AS DOUBLE) * (127.0/mx) + 0.5) "
+            "  ELSE ceil(CAST(x AS DOUBLE) * (127.0/mx) - 0.5) END) AS qv "
+            "  FROM m WHERE mx > 0), "
+            "c AS (SELECT vec_id AS cid, qv AS cv FROM q "
+            "  WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)), "
+            "d AS (SELECT q.vec_id, c.cid, CAST(list_dot_product(q.qv, q.qv) "
+            "  - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv) "
+            "  AS BIGINT) AS dist FROM q, c), "
+            "a AS (SELECT vec_id, cid, dist, row_number() OVER "
+            "  (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+            "SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_members, "
+            "CAST(sum(dist) AS BIGINT) AS inertia FROM a WHERE rn = 1 GROUP BY cid"
         ),
         "docs_ols_fit": (
             "WITH f AS (SELECT CAST(length(text) AS BIGINT) AS y, "

@@ -53,3 +53,87 @@ def quantize_embeddings(
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """One seeded Lloyd assignment step — the inner loop of distributed
+    k-means, made EXACTLY checkable: vectors are int8-quantized first (the
+    half-away rounding above, SQL-matched), so squared distances, argmin
+    assignments and inertia are all integer arithmetic with no float
+    reduction-order ambiguity between the engine and the oracle.
+
+    Seed centroids = the quantized vectors of the ``k`` smallest non-zero
+    ids (deterministic — no RNG). The k×dim int matrix is broadcast once
+    with ``ray.put``; each batch computes distances by the
+    ``‖x‖² − 2x·Cᵀ + ‖c‖²`` expansion (one numpy matmul), assigns argmin
+    (ties → lowest centroid id), and emits ≤k partial (cell, n, inertia)
+    rows; a k-sized groupby folds the partials. This is the scale shape of
+    a full Lloyd iteration: the update step would divide the same partials'
+    vector sums — nothing per-vector ever leaves the block.
+
+    Returns (cell, n_members, inertia) for non-empty cells; cell is the
+    seed centroid's id."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # k smallest non-zero ids (margin for the zero-vector corner, asserted)
+    head = ds.sort(id_col).limit(max(4 * k, 32)).take_all()
+    cents, cent_ids = [], []
+    for row in head:
+        x = np.asarray(row[vec_col], dtype=np.float64)
+        m = float(np.max(np.abs(x))) if len(x) else 0.0
+        if m == 0.0:
+            continue
+        cents.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
+        cent_ids.append(int(row[id_col]))
+        if len(cents) == k:
+            break
+    if len(cents) < k:
+        raise ValueError(f"fewer than k={k} non-zero vectors in the head sample")
+    C = np.stack(cents)  # k × dim
+    c_sq = (C * C).sum(axis=1)  # k
+    cref = ray.put((C, c_sq, np.asarray(cent_ids, np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cm, csq, cids = ray.get(cref)
+        qs = []
+        for vec in batch.column(vec_col).to_pylist():
+            x = np.asarray(vec, dtype=np.float64)
+            m = float(np.max(np.abs(x))) if len(x) else 0.0
+            if m == 0.0:
+                continue
+            qs.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
+        if not qs:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                    "inertia": pa.array([], pa.int64()),
+                }
+            )
+        X = np.stack(qs)  # B × dim, |q| ≤ 127 → dists ≤ ~2e6, int64-exact
+        d = (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + csq[None, :]
+        assign = np.argmin(d, axis=1)  # first occurrence = lowest cell index
+        dmin = d[np.arange(len(qs)), assign]
+        n = np.bincount(assign, minlength=len(cids))
+        inertia = np.bincount(assign, weights=dmin, minlength=len(cids)).astype(
+            np.int64
+        )
+        keep = n > 0
+        return pa.table(
+            {
+                "cell": pa.array(cids[keep], pa.int64()),
+                "n_members": pa.array(n[keep].astype(np.int64), pa.int64()),
+                "inertia": pa.array(inertia[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("inertia", alias_name="inertia"),
+        )
+    )
