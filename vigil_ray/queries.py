@@ -2054,6 +2054,45 @@ def q_embeddings_kmeans_assign(sf_dir: str):
     return kmeans_assign_step(ds, k=8)
 
 
+def q_events_hourly_distinct(sf_dir: str):
+    """Windowed COUNT DISTINCT — distinct active users per tumbling hour
+    (the DAU/HAU shape). Exact, with no distinct-aggregate machinery: each
+    block pre-dedups its (hour, user) pairs with an in-block Arrow
+    ``group_by`` (the shuffle carries distinct pairs only, never event
+    rows), ``sorted_group_agg`` collapses pairs globally, and a second
+    hours-sized ``sorted_group_sum`` counts per window. The same plan at
+    10^12 rows moves |distinct pairs| ≤ |users|·|hours| rows — the exact
+    complement of the KMV/HLL sketch queries, which trade exactness for a
+    constant-size shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import sorted_group_agg, sorted_group_sum
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")
+        )
+        t = pa.table({"window_start": win, "user_id": batch.column("user_id")})
+        u = t.group_by(["window_start", "user_id"]).aggregate([])
+        return u.append_column("n", pa.array(np.ones(u.num_rows, np.int64)))
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    distinct = sorted_group_agg(
+        pair_ds, ["window_start", "user_id"], [("n", "min", "n")]
+    )
+    counts = sorted_group_sum(distinct, ["window_start"], ["n"])
+    return counts.map_batches(
+        lambda b: b.rename_columns(
+            ["n_users" if c == "n" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (``Dataset.unique`` — shuffle)."""
     import ray.data as rd
@@ -3447,6 +3486,7 @@ def queries() -> Dict[str, Callable]:
         "docs_ols_fit": q_docs_ols_fit,
         "events_value_percent_rank": q_events_value_percent_rank,
         "embeddings_kmeans_assign": q_embeddings_kmeans_assign,
+        "events_hourly_distinct": q_events_hourly_distinct,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -3920,6 +3960,11 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT event_id, user_id, value, "
             "round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) "
             "AS pct_rank FROM events"
+        ),
+        "events_hourly_distinct": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
         ),
         "embeddings_kmeans_assign": (
             "WITH m AS (SELECT vec_id, embedding, "
