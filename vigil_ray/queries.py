@@ -2704,6 +2704,44 @@ def q_docs_chunk_dup_pairs(sf_dir: str):
     )
 
 
+def q_docs_dup_triangles(sf_dir: str):
+    """Triangle census of the shared-chunk duplicate graph — a graph-shaped
+    corpus-quality signal (triangle-dense duplicate neighborhoods are
+    template/boilerplate families rather than pairwise near-dups; the
+    components query gives their extent, this gives their density).
+
+    Exactly one wedge per triangle by construction: edges are stored a < b,
+    the self-join on the shared MINIMUM vertex (e1 = (a,b), e2 = (a,c),
+    b < c) generates each unordered neighbor pair of the smallest vertex
+    once, and a second join against the edge set closes it — triangle
+    {x<y<z} appears exactly once, as wedge (y,z) centered at x. Both joins
+    are candidate-pair-scale: the corpus never enters a shuffle, matching
+    the MR triangle-counting shape (Suri & Vassilvitskii's min-vertex
+    partitioning)."""
+    from vigil_ray.stages.blocks import safe_join
+    from vigil_ray.stages.corpus import chunk_dup_pairs
+
+    edges = chunk_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), chunk_words=50, stride=40
+    ).materialize()  # pair-scale (dedup output, not corpus-scale)
+    n_edges = edges.count()
+
+    e1 = edges.rename_columns({"b": "w1"})
+    e2 = edges.rename_columns({"b": "w2"})
+    wedges = safe_join(e1, e2, "inner", num_partitions=8, on=("a",)).filter(
+        expr="w1 < w2"
+    )
+    closing = edges.rename_columns({"a": "w1", "b": "w2"})
+    closed = safe_join(wedges, closing, "inner", num_partitions=8, on=("w1", "w2"))
+    n_tri = closed.count()
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )
+
+
 def q_events_skew_join_segments(sf_dir: str):
     """events ⋈ customer via the skew-aware join (hot keys detected on a
     row sample, their dimension rows broadcast and joined map-side, cold
@@ -3487,6 +3525,7 @@ def queries() -> Dict[str, Callable]:
         "events_value_percent_rank": q_events_value_percent_rank,
         "embeddings_kmeans_assign": q_embeddings_kmeans_assign,
         "events_hourly_distinct": q_events_hourly_distinct,
+        "docs_dup_triangles": q_docs_dup_triangles,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4412,6 +4451,20 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  md5(array_to_string(words[s+1:s+50], ' ')) AS fp FROM c) "
             "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
             "FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id"
+        ),
+        "docs_dup_triangles": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "c AS (SELECT doc_id, words, "
+            "  unnest(range(0, array_length(words), 40)) AS s FROM w), "
+            "f AS (SELECT DISTINCT doc_id, "
+            "  md5(array_to_string(words[s+1:s+50], ' ')) AS fp FROM c), "
+            "e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+            "  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id) "
+            "SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
+            "CAST((SELECT count(*) FROM e e1 "
+            "  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles"
         ),
         "docs_pagerank": _pagerank_oracle(3),
         "events_hll_users": (
