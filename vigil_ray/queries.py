@@ -349,6 +349,47 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_docs_delta_ingest(sf_dir: str):
+    """Incremental-ingest dedup — the daily-crawl shape: today's delta shard
+    (the appended-copy rows of the variants corpus, vid ≥ EXACT_COPY_OFFSET)
+    is deduplicated against the HISTORICAL corpus by content fingerprint and
+    only genuinely-new vids survive. Ray shape: history enters the job as
+    its md5 column only (pruned read — never the bodies), a Bloom bitmap of
+    history fingerprints broadcasts once, bloom-miss delta rows stream
+    through with no shuffle, and just the bloom-positive sliver pays the
+    exact ``left_anti`` join (``corpus.bloom_anti_join``). At 100 TB of
+    history the per-day cost is one fingerprint-column scan + a 128 KiB
+    broadcast — the standard CDX-style recrawl dedup."""
+    from vigil_ray.kernel.textstats import md5_hex
+    from vigil_ray.sources.pages import EXACT_COPY_OFFSET
+    from vigil_ray.stages.corpus import bloom_anti_join
+
+    def fp_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"fp": pa.array([md5_hex(t) for t in batch.column("text").to_pylist()])}
+        )
+
+    history = _docs(sf_dir, ["text"]).map_batches(fp_docs, batch_format="pyarrow")
+
+    def fp_delta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "fp": pa.array(
+                    [md5_hex(t) for t in batch.column("text").to_pylist()]
+                ),
+            }
+        )
+
+    delta = (
+        _variants_ds(sf_dir)
+        .filter(expr=f"vid >= {EXACT_COPY_OFFSET}")
+        .map_batches(fp_delta, batch_format="pyarrow")
+    )
+    new_rows = bloom_anti_join(delta, history, key_col="fp", blocklist_col="fp")
+    return new_rows.select_columns(["vid"])
+
+
 def q_dedup_components(sf_dir: str):
     """Duplicate CLUSTERS from the MinHash pair set: distributed min-label
     propagation (stages/graph.py) labels every paired doc with the minimum
@@ -3526,6 +3567,7 @@ def queries() -> Dict[str, Callable]:
         "embeddings_kmeans_assign": q_embeddings_kmeans_assign,
         "events_hourly_distinct": q_events_hourly_distinct,
         "docs_dup_triangles": q_docs_dup_triangles,
+        "docs_delta_ingest": q_docs_delta_ingest,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4451,6 +4493,18 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  md5(array_to_string(words[s+1:s+50], ' ')) AS fp FROM c) "
             "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
             "FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id"
+        ),
+        "docs_delta_ingest": (
+            # by construction: the delta = exact copies (doc_id%7=3, same
+            # text) + near copies (doc_id%5=0, one word appended); only the
+            # near copies carry new content
+            "WITH delta AS ("
+            "  SELECT doc_id + 1000000 AS vid, text FROM documents WHERE doc_id % 7 = 3 "
+            "  UNION ALL "
+            "  SELECT doc_id + 2000000 AS vid, text || ' extra' FROM documents "
+            "  WHERE doc_id % 5 = 0) "
+            "SELECT d.vid FROM delta d WHERE NOT EXISTS "
+            "(SELECT 1 FROM documents b WHERE b.text = d.text)"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
