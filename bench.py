@@ -188,6 +188,11 @@ def run_bench() -> dict:
         "events_validity_intervals",
         "events_cohort_retention",
         "user_order_reconcile",
+        "events_value_percent_rank",
+        "events_hourly_distinct",
+        "embeddings_kmeans_assign",
+        "docs_delta_ingest",
+        "docs_ols_fit",
     ]
     registry = query_registry()
     for name in secondary:
