@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "embeddings_kmeans_assign",
         "docs_delta_ingest",
         "docs_ols_fit",
+        "docs_url_dedup",
     ]
     registry = query_registry()
     for name in secondary:

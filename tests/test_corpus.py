@@ -1032,3 +1032,47 @@ class TestShiftTimestampCarry:
         import pandas.testing as pdt
 
         pdt.assert_frame_equal(out[want.columns], want, check_dtype=False)
+
+
+class TestUrlDedup:
+    def test_canonicalize_rules(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import canonicalize_urls
+
+        cases = [
+            # (input, expected canonical)
+            ("https://example.test/doc/1", "https://example.test/doc/1"),
+            ("HTTP://WWW.Example.TEST/doc/1/?utm_source=a&utm_campaign=b#f",
+             "https://example.test/doc/1"),
+            ("http://example.test/doc/1/", "https://example.test/doc/1"),
+            # non-tracking params preserved (distinct resource)
+            ("https://example.test/doc/1?page=2", "https://example.test/doc/1?page=2"),
+            # tracking block after a real param: only the utm tail drops
+            ("https://example.test/a?page=2&utm_x=1", "https://example.test/a?page=2"),
+            # fragment alone
+            ("https://example.test/a#sec", "https://example.test/a"),
+            # www + host case only
+            ("https://WWW.EXAMPLE.test/a", "https://example.test/a"),
+        ]
+        ds = rd.from_items([{"url": u} for u, _ in cases])
+        out = canonicalize_urls(ds).to_pandas()
+        got = dict(zip(out["url"], out["canonical_url"]))
+        for u, want in cases:
+            assert got[u] == want, (u, got[u], want)
+
+    def test_url_dedup_groups(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import url_dedup
+
+        rows = [
+            {"row_id": 10, "url": "http://www.site.test/x/"},
+            {"row_id": 3, "url": "https://site.test/x?utm_source=a"},
+            {"row_id": 7, "url": "https://site.test/x?page=2"},
+        ]
+        out = url_dedup(rd.from_items(rows)).to_pandas()
+        out = out.set_index("canonical_url")
+        assert out.loc["https://site.test/x", "keeper_row_id"] == 3
+        assert out.loc["https://site.test/x", "n_variants"] == 2
+        assert out.loc["https://site.test/x?page=2", "n_variants"] == 1

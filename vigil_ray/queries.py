@@ -349,6 +349,25 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_docs_url_dedup(sf_dir: str):
+    """URL-canonicalization dedup over a synthetic crawl frontier (see
+    :func:`vigil_ray.sources.pages.synthesize_url_variants` for the variant
+    grammar): normalize every URL with vectorized RE2 kernels (strip
+    fragment + trailing utm_* block, https scheme, lowercase host, drop
+    www., strip trailing slash) and keep one row per canonical URL with the
+    min row_id and the variant count — the CommonCrawl-style pre-fetch
+    frontier dedup. Normalization is map-side; the only shuffle is the
+    (canonical_url, id, 1) sort of :func:`corpus.sorted_group_agg`."""
+    import ray.data as rd
+
+    from vigil_ray.sources.pages import synthesize_url_variants
+    from vigil_ray.stages.corpus import url_dedup
+
+    table = synthesize_url_variants(sf_dir)
+    ds = rd.from_arrow(table).repartition(max(1, table.num_rows // 512))
+    return url_dedup(ds, url_col="url", id_col="row_id")
+
+
 def q_docs_delta_ingest(sf_dir: str):
     """Incremental-ingest dedup — the daily-crawl shape: today's delta shard
     (the appended-copy rows of the variants corpus, vid ≥ EXACT_COPY_OFFSET)
@@ -3568,6 +3587,7 @@ def queries() -> Dict[str, Callable]:
         "events_hourly_distinct": q_events_hourly_distinct,
         "docs_dup_triangles": q_docs_dup_triangles,
         "docs_delta_ingest": q_docs_delta_ingest,
+        "docs_url_dedup": q_docs_url_dedup,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4505,6 +4525,34 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  WHERE doc_id % 5 = 0) "
             "SELECT d.vid FROM delta d WHERE NOT EXISTS "
             "(SELECT 1 FROM documents b WHERE b.text = d.text)"
+        ),
+        "docs_url_dedup": (
+            # the oracle RE-RUNS the normalization rules (not just the
+            # arithmetic group structure) — regex semantics are pinned on
+            # both sides (RE2 in DuckDB and pyarrow alike)
+            "WITH ids AS (SELECT doc_id, "
+            "  '/doc/' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS path FROM documents), "
+            "urls(row_id, url) AS ("
+            "  SELECT doc_id, 'https://example.test' || path FROM ids "
+            "  UNION ALL "
+            "  SELECT doc_id + 10000000, 'HTTP://WWW.Example.TEST' || path || "
+            "    '/?utm_source=feed&utm_campaign=x' || CAST(doc_id AS VARCHAR) || '#frag' "
+            "  FROM ids WHERE doc_id % 3 = 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 20000000, 'https://example.test' || path || '?page=2' "
+            "  FROM ids WHERE doc_id % 4 = 1 "
+            "  UNION ALL "
+            "  SELECT doc_id + 30000000, 'http://example.test' || path || '/' "
+            "  FROM ids WHERE doc_id % 5 = 2), "
+            "n1 AS (SELECT row_id, regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "  '[?&]utm_.*$', '') AS u FROM urls), "
+            "n2 AS (SELECT row_id, 'https://' || "
+            "  regexp_replace(lower(regexp_extract(u, '^(?i:https?)://([^/]*)', 1)), "
+            "    '^www\\.', '') || "
+            "  regexp_replace(regexp_replace(u, '^(?i:https?)://[^/]*', ''), '/$', '') "
+            "  AS canonical_url FROM n1) "
+            "SELECT canonical_url, CAST(min(row_id) AS BIGINT) AS keeper_row_id, "
+            "CAST(count(*) AS BIGINT) AS n_variants FROM n2 GROUP BY canonical_url"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "

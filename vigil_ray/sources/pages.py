@@ -163,6 +163,59 @@ def synthesize_variants(sf_dir: str) -> pa.Table:
     )
 
 
+# url-variant frontier: canonicalization construction offsets
+URL_TRACKED_OFFSET = 10_000_000  # doc_id % 3 == 0 → tracked/decorated dup
+URL_PAGED_OFFSET = 20_000_000    # doc_id % 4 == 1 → real ?page=2 (NOT a dup)
+URL_SLASH_OFFSET = 30_000_000    # doc_id % 5 == 2 → http + trailing-slash dup
+
+
+def synthesize_url_variants(sf_dir: str) -> pa.Table:
+    """Crawl-frontier URL list with deterministic non-canonical variants,
+    for the URL-canonicalization dedup operator (the CommonCrawl-style
+    pre-fetch dedup key; reference has no crawl layer — this extends the
+    quality-filter tier to the frontier):
+
+    - every doc contributes its canonical URL at ``row_id = doc_id``;
+    - ``doc_id % 3 == 0``: an upper-cased, ``www.``-prefixed, http-scheme,
+      trailing-slash, ``utm_*``-tracked, fragment-bearing variant — every
+      normalization rule must fire for it to collapse onto the base row;
+    - ``doc_id % 4 == 1``: a ``?page=2`` variant — a REAL distinct resource
+      the canonicalizer must NOT merge (non-tracking params are preserved);
+    - ``doc_id % 5 == 2``: an http-scheme + trailing-slash variant.
+
+    The expected group structure is pure doc_id arithmetic, but the SQL
+    oracle re-runs the normalization itself (regexp_replace/extract) so the
+    check pins the RULES, not just the counts.
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    row_ids, urls = [], []
+    for i in ids:
+        path = f"/doc/{i:09d}"
+        row_ids.append(i)
+        urls.append(f"https://example.test{path}")
+        if i % 3 == 0:
+            row_ids.append(i + URL_TRACKED_OFFSET)
+            urls.append(
+                f"HTTP://WWW.Example.TEST{path}/"
+                f"?utm_source=feed&utm_campaign=x{i}#frag"
+            )
+        if i % 4 == 1:
+            row_ids.append(i + URL_PAGED_OFFSET)
+            urls.append(f"https://example.test{path}?page=2")
+        if i % 5 == 2:
+            row_ids.append(i + URL_SLASH_OFFSET)
+            urls.append(f"http://example.test{path}/")
+    return pa.table(
+        {
+            "row_id": pa.array(row_ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+
+
 def family_of(k: int) -> int:
     return k % N_FAMILIES
 

@@ -91,6 +91,60 @@ def chunk_documents(
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Vectorized crawl-URL canonicalization (the CommonCrawl-style dedup
+    key): strip ``#fragment``, strip a trailing ``utm_*`` tracking block,
+    force the https scheme, lowercase the host, drop a leading ``www.``,
+    strip one trailing path slash. Pure ``pyarrow.compute`` RE2 kernels —
+    zero Python per row, embarrassingly parallel (no shuffle).
+
+    Assumes tracking params trail any real query params
+    (``?page=2&utm_source=..``): the rule removes from the first ``[?&]utm_``
+    to end-of-string, exact under that layout (the synthetic frontier's
+    documented convention). Non-tracking query params are PRESERVED — a
+    ``?page=2`` URL is a distinct resource, not a duplicate.
+    """
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.cast(batch.column(url_col), pa.string())
+        u = pc.replace_substring_regex(u, r"#.*$", "")
+        u = pc.replace_substring_regex(u, r"[?&]utm_.*$", "")
+        m = pc.extract_regex(
+            u, r"^(?i:https?)://(?P<host>[^/]*)(?P<rest>.*)$"
+        )
+        host = pc.utf8_lower(pc.struct_field(m, "host"))
+        host = pc.replace_substring_regex(host, r"^www\.", "")
+        rest = pc.replace_substring_regex(pc.struct_field(m, "rest"), r"/$", "")
+        canon = pc.binary_join_element_wise("https://", host, rest, "")
+        return batch.append_column(out_col, canon)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def url_dedup(ds, url_col: str = "url", id_col: str = "row_id"):
+    """Exact dedup on the canonical URL: one row per canonical URL with the
+    keeper (min ``id_col``) and the variant count. canonicalize (map-side,
+    no shuffle) → :func:`sorted_group_agg` — the sort carries
+    ``(canonical_url, id, 1)`` rows only; page bodies never move."""
+    canon = canonicalize_urls(ds, url_col=url_col).select_columns(
+        ["canonical_url", id_col]
+    )
+
+    def _one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+
+    rows = canon.map_batches(_one, batch_format="pyarrow")
+    return sorted_group_agg(
+        rows,
+        ["canonical_url"],
+        [(id_col, "min", "keeper_row_id"), ("one", "sum", "n_variants")],
+    )
+
+
 def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text", seg_words: int = 10):
     """Cross-corpus segment-level dedup (the C4 recipe, segment = ``seg_words``
     whitespace words): every distinct segment string survives exactly once —
