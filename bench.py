@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "docs_delta_ingest",
         "docs_ols_fit",
         "docs_url_dedup",
+        "pages_template_tails",
     ]
     registry = query_registry()
     for name in secondary:

@@ -349,6 +349,45 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_pages_template_tails(sf_dir: str):
+    """Template/boilerplate family detection by trailing-shingle document
+    frequency — the CCNet-style df-threshold signal, computed exactly: the
+    last 5-whitespace-token shingle of every page, counted across the
+    corpus; shingles shared by ≥ 10 pages are template tails (the injected
+    family suffixes, by construction). Parameterized templates (families
+    1/14 embed the page key) correctly evade the exact-tail detector with
+    df = 1 — the known blind spot of exact boilerplate matching, documented
+    rather than hidden.
+
+    Ray shape: map-side RE2 tail extraction (leftmost match of
+    ``(?:\\S+\\s+){0,4}\\S+$`` is exactly the last ≤5 tokens — a match
+    starting any earlier would need a 6th token to reach ``$``) → the
+    shuffle carries (tail, 1) rows only → `sorted_group_agg` count →
+    threshold filter. Page bodies never shuffle."""
+    import numpy as np
+
+    from vigil_ray.stages.corpus import sorted_group_agg
+
+    def tails(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(
+            batch.column("text"), r"(?P<tail>(?:\S+\s+){0,4}\S+)$"
+        )
+        return pa.table(
+            {
+                "tail": pc.struct_field(m, "tail"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    rows = _pages_ds(sf_dir).select_columns(["text"]).map_batches(
+        tails, batch_format="pyarrow"
+    )
+    agg = sorted_group_agg(rows, ["tail"], [("one", "sum", "n_pages")])
+    return agg.filter(expr="n_pages >= 10")
+
+
 def q_docs_url_dedup(sf_dir: str):
     """URL-canonicalization dedup over a synthetic crawl frontier (see
     :func:`vigil_ray.sources.pages.synthesize_url_variants` for the variant
@@ -3588,6 +3627,7 @@ def queries() -> Dict[str, Callable]:
         "docs_dup_triangles": q_docs_dup_triangles,
         "docs_delta_ingest": q_docs_delta_ingest,
         "docs_url_dedup": q_docs_url_dedup,
+        "pages_template_tails": q_pages_template_tails,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4553,6 +4593,17 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  AS canonical_url FROM n1) "
             "SELECT canonical_url, CAST(min(row_id) AS BIGINT) AS keeper_row_id, "
             "CAST(count(*) AS BIGINT) AS n_variants FROM n2 GROUP BY canonical_url"
+        ),
+        "pages_template_tails": (
+            "WITH p AS (SELECT doc_id, (" + _PAGE_TEXT_EXPR + ") AS page_text "
+            "  FROM documents), "
+            "w AS (SELECT regexp_split_to_array(trim(page_text), '\\s+') AS words "
+            "  FROM p WHERE trim(page_text) <> ''), "
+            "t AS (SELECT array_to_string("
+            "  words[greatest(1, array_length(words) - 4):array_length(words)], ' ') "
+            "  AS tail FROM w) "
+            "SELECT tail, CAST(count(*) AS BIGINT) AS n_pages FROM t "
+            "GROUP BY tail HAVING count(*) >= 10"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
