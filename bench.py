@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "docs_ols_fit",
         "docs_url_dedup",
         "pages_template_tails",
+        "pages_boilerplate_scrub",
     ]
     registry = query_registry()
     for name in secondary:

@@ -388,6 +388,80 @@ def q_pages_template_tails(sf_dir: str):
     return agg.filter(expr="n_pages >= 10")
 
 
+def q_pages_boilerplate_scrub(sf_dir: str):
+    """Boilerplate scrub plan — the APPLY half of ``pages_template_tails``:
+    the flagged template-tail dimension (df ≥ 10; bounded by the number of
+    distinct templates, not the corpus) broadcast-joins back to the corpus
+    and every page gets its scrub extent: ``is_template`` + the cleaned
+    character count (length minus the flagged tail and its separating
+    space, floored at 0 for tail-only pages). The corpus stays map-side
+    throughout — detection shuffles (tail, 1) rows only, the apply step is
+    a zero-shuffle broadcast probe (``joins.broadcast_join``, size-gated)."""
+    import numpy as np
+
+    from vigil_ray.stages.corpus import sorted_group_agg
+    from vigil_ray.stages.joins import broadcast_join
+
+    tail_re = r"(?P<tail>(?:\S+\s+){0,4}\S+)$"
+
+    def with_tails(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.struct_field(
+            pc.extract_regex(batch.column("text"), tail_re), "tail"
+        )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+                "tail_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+                "tail": t,
+            }
+        )
+
+    pages = _pages_ds(sf_dir).select_columns(["url", "text"])
+    tagged = pages.map_batches(with_tails, batch_format="pyarrow")
+
+    def tail_ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tail": batch.column("tail"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    flagged = sorted_group_agg(
+        tagged.map_batches(tail_ones, batch_format="pyarrow"),
+        ["tail"],
+        [("one", "sum", "n_pages")],
+    ).filter(expr="n_pages >= 10")
+
+    joined = broadcast_join(tagged, flagged, key="tail", how="left_outer")
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flag = pc.is_valid(batch.column("n_pages"))
+        stripped = pc.max_element_wise(
+            pc.subtract(
+                pc.subtract(batch.column("n_chars"), batch.column("tail_chars")),
+                pa.scalar(1, pa.int64()),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "is_template": flag,
+                "n_chars_clean": pc.if_else(flag, stripped, batch.column("n_chars")),
+            }
+        )
+
+    return joined.map_batches(scrub, batch_format="pyarrow")
+
+
 def q_docs_url_dedup(sf_dir: str):
     """URL-canonicalization dedup over a synthetic crawl frontier (see
     :func:`vigil_ray.sources.pages.synthesize_url_variants` for the variant
@@ -3628,6 +3702,7 @@ def queries() -> Dict[str, Callable]:
         "docs_delta_ingest": q_docs_delta_ingest,
         "docs_url_dedup": q_docs_url_dedup,
         "pages_template_tails": q_pages_template_tails,
+        "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4604,6 +4679,22 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  AS tail FROM w) "
             "SELECT tail, CAST(count(*) AS BIGINT) AS n_pages FROM t "
             "GROUP BY tail HAVING count(*) >= 10"
+        ),
+        "pages_boilerplate_scrub": (
+            "WITH p AS (SELECT doc_id, (" + _PAGE_TEXT_EXPR + ") AS page_text "
+            "  FROM documents), "
+            "w AS (SELECT doc_id, page_text, "
+            "  regexp_split_to_array(trim(page_text), '\\s+') AS words "
+            "  FROM p WHERE trim(page_text) <> ''), "
+            "t AS (SELECT doc_id, page_text, array_to_string("
+            "  words[greatest(1, array_length(words) - 4):array_length(words)], ' ') "
+            "  AS tail FROM w), "
+            "f AS (SELECT tail FROM t GROUP BY tail HAVING count(*) >= 10) "
+            "SELECT " + _URL_EXPR + " AS url, f.tail IS NOT NULL AS is_template, "
+            "CAST(CASE WHEN f.tail IS NOT NULL "
+            "  THEN greatest(0, length(t.page_text) - length(t.tail) - 1) "
+            "  ELSE length(t.page_text) END AS BIGINT) AS n_chars_clean "
+            "FROM t LEFT JOIN f ON t.tail = f.tail"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
