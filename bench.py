@@ -196,6 +196,7 @@ def run_bench() -> dict:
         "docs_url_dedup",
         "pages_template_tails",
         "pages_boilerplate_scrub",
+        "events_decayed_user_score",
     ]
     registry = query_registry()
     for name in secondary:

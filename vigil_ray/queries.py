@@ -349,6 +349,82 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_events_decayed_user_score(sf_dir: str):
+    """Recency-weighted user activity score (exponential decay — the
+    feature-store recency feature): over each user's 20 most recent events,
+    ``score = Σ cents(value) · 0.5^rank`` with rank 1 = most recent.
+
+    α = 1/2 over integer cents and a K = 20 window keeps every term and
+    every partial sum an exactly-representable dyadic double
+    (≤ 16 + 5 + 20 bits < 53), so ANY summation order — the engine's
+    vectorized dot product, the oracle's SQL ``SUM`` — yields the
+    bit-identical float: an exactly-checked decayed aggregate. Ray shape:
+    collect-TRUNCATE accumulator (the ``top3_docs_per_lang`` shape) — the
+    shuffle carries ≤ 20 all-int (ts_us, cents) pairs per (block, user),
+    never a user's history."""
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn
+
+    from vigil_ray.sources.readers import read_table
+
+    K = 20
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        ts_us = batch.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": ts_us,
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(enc, batch_format="pyarrow")
+
+    def _topk(pairs: list) -> list:
+        # most-recent first; (user, ts) pairs are unique in the event log
+        return sorted(pairs, key=lambda t: -t[0])[:K]
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: _topk(a + b),
+        name="recent",
+        accumulate_block=lambda acc, block: _topk(
+            acc
+            + list(
+                zip(
+                    block.column("ts_us").to_pylist(),
+                    block.column("cents").to_pylist(),
+                )
+            )
+        ),
+    )
+    per_user = rows.groupby("user_id").aggregate(collect)
+
+    def score(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_pylist()
+        recents = batch.column("recent").to_pylist()
+        out = np.empty(len(users), np.float64)
+        w = np.ldexp(1.0, -np.arange(1, K + 1))  # exact 0.5^rank
+        for i, pairs in enumerate(recents):
+            top = _topk([tuple(p) for p in pairs])
+            c = np.asarray([p[1] for p in top], np.float64)
+            out[i] = float(np.dot(c, w[: len(c)]))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "score": pa.array(out, pa.float64()),
+            }
+        )
+
+    return per_user.map_batches(score, batch_format="pyarrow")
+
+
 def q_pages_template_tails(sf_dir: str):
     """Template/boilerplate family detection by trailing-shingle document
     frequency — the CCNet-style df-threshold signal, computed exactly: the
@@ -3703,6 +3779,7 @@ def queries() -> Dict[str, Callable]:
         "docs_url_dedup": q_docs_url_dedup,
         "pages_template_tails": q_pages_template_tails,
         "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
+        "events_decayed_user_score": q_events_decayed_user_score,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4695,6 +4772,16 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  THEN greatest(0, length(t.page_text) - length(t.tail) - 1) "
             "  ELSE length(t.page_text) END AS BIGINT) AS n_chars_clean "
             "FROM t LEFT JOIN f ON t.tail = f.tail"
+        ),
+        "events_decayed_user_score": (
+            # dyadic-exact: cents * 0.5^rn (rn <= 20) sums identically in
+            # any order — the engine's dot product and this SUM bit-agree
+            "WITH r AS (SELECT user_id, "
+            "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, "
+            "  row_number() OVER (PARTITION BY user_id "
+            "    ORDER BY ts DESC) AS rn FROM events) "
+            "SELECT user_id, CAST(sum(cents * pow(0.5, rn)) AS DOUBLE) AS score "
+            "FROM r WHERE rn <= 20 GROUP BY user_id"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
