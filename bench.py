@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "pages_template_tails",
         "pages_boilerplate_scrub",
         "events_decayed_user_score",
+        "corpus_bpe_pair",
     ]
     registry = query_registry()
     for name in secondary:

@@ -349,6 +349,66 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_corpus_bpe_pair(sf_dir: str):
+    """The first BPE merge step (tokenizer training over the corpus): the
+    20 most frequent adjacent character pairs, exact. Ray shape: per batch,
+    texts join with a ``\\x00`` sentinel and decode to a numpy codepoint
+    array via utf-32 (one vectorized pass — no per-char Python), adjacent
+    pairs pack into int64 keys (c1·2²¹ + c2; sentinel pairs masked),
+    ``np.unique`` emits block-local (key, n) partials; the shuffle carries
+    the character-vocab²-bounded partial table, never corpus text;
+    ``sorted_group_agg`` sums, the pairs decode back to 2-char strings and
+    a global sort takes the top 20 (ties by pair string — both sides sort
+    UTF-8/codepoint order, identical)."""
+    import numpy as np
+
+    from vigil_ray.stages.corpus import sorted_group_agg
+
+    SHIFT = 1 << 21  # > max codepoint, so the packed key is collision-free
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        joined = "\x00".join(texts)
+        arr = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
+            np.int64
+        )
+        if len(arr) < 2:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        a, b = arr[:-1], arr[1:]
+        mask = (a != 0) & (b != 0)
+        keys = a[mask] * SHIFT + b[mask]
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        pair_partials, batch_format="pyarrow"
+    )
+    agg = sorted_group_agg(partials, ["key"], [("n", "sum", "n")])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        pairs = [chr(k // SHIFT) + chr(k % SHIFT) for k in keys]
+        return pa.table(
+            {"pair": pa.array(pairs, pa.string()), "n": batch.column("n")}
+        )
+
+    return (
+        agg.map_batches(decode, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_events_decayed_user_score(sf_dir: str):
     """Recency-weighted user activity score (exponential decay — the
     feature-store recency feature): over each user's 20 most recent events,
@@ -3780,6 +3840,7 @@ def queries() -> Dict[str, Callable]:
         "pages_template_tails": q_pages_template_tails,
         "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
         "events_decayed_user_score": q_events_decayed_user_score,
+        "corpus_bpe_pair": q_corpus_bpe_pair,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4782,6 +4843,13 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "    ORDER BY ts DESC) AS rn FROM events) "
             "SELECT user_id, CAST(sum(cents * pow(0.5, rn)) AS DOUBLE) AS score "
             "FROM r WHERE rn <= 20 GROUP BY user_id"
+        ),
+        "corpus_bpe_pair": (
+            "WITH pos AS (SELECT text, unnest(range(1, length(text))) AS i "
+            "  FROM documents WHERE length(text) >= 2), "
+            "p AS (SELECT substring(text, CAST(i AS BIGINT), 2) AS pair FROM pos), "
+            "c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair) "
+            "SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
