@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "pages_boilerplate_scrub",
         "events_decayed_user_score",
         "corpus_bpe_pair",
+        "dedup_edit_distance",
     ]
     registry = query_registry()
     for name in secondary:

@@ -291,3 +291,41 @@ class TestBucketTruncation:
         got = {tuple(r) for r in pairs[["a", "b"]].itertuples(index=False)}
         # only pairs among the kept prefix {0,1,2}
         assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+class TestBatchEditDistances:
+    def _ref(self, a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        d = [[0] * (la + 1) for _ in range(lb + 1)]
+        for i in range(la + 1):
+            d[0][i] = i
+        for j in range(1, lb + 1):
+            d[j][0] = j
+            for i in range(1, la + 1):
+                d[j][i] = min(
+                    d[j - 1][i] + 1,
+                    d[j][i - 1] + 1,
+                    d[j - 1][i - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[lb][la]
+
+    def test_known_and_fuzz(self):
+        import random
+
+        from vigil_ray.stages.dedup import batch_edit_distances
+
+        words = ["kitten", "sitting", "", "a", "ab", "flaw", "lawn",
+                 "gumbo", "gambol", "açai", "acai", "x" * 30]
+        pairs = [(a, b) for a in words for b in words]
+        got = batch_edit_distances([p[0] for p in pairs], [p[1] for p in pairs])
+        for (a, b), g in zip(pairs, got):
+            assert g == self._ref(a, b), (a, b, g)
+        rng = random.Random(7)
+        alpha = "abcde "
+        ta, tb = [], []
+        for _ in range(100):
+            ta.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))))
+            tb.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))))
+        got = batch_edit_distances(ta, tb)
+        for a, b, g in zip(ta, tb, got):
+            assert g == self._ref(a, b), (a, b, g)

@@ -349,6 +349,22 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return embedding_pairs(ds, threshold=0.45)
 
 
+def q_dedup_edit_distance(sf_dir: str):
+    """Edit-distance confirmation of near-dup candidates — the
+    entity-resolution verify step: MinHash-LSH candidates (exact-Jaccard
+    verified, the `dedup_minhash_pairs` set) scored with the EXACT
+    Levenshtein distance, vectorized across the pair batch
+    (:func:`vigil_ray.stages.dedup.batch_edit_distances` — the in-row DP
+    dependency resolves via a minimum.accumulate distance transform, no
+    per-char Python). Texts attach through the Bloom-semi-filtered
+    sort-merge lookup; the corpus never shuffles. Oracle: DuckDB's own
+    ``levenshtein()`` over the true-Jaccard pair set."""
+    from vigil_ray.stages.dedup import edit_distance_pairs, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_variants_ds(sf_dir), threshold=0.5, with_texts=True)
+    return edit_distance_pairs(pairs=pairs, texts_attached=True)
+
+
 def q_corpus_bpe_pair(sf_dir: str):
     """The first BPE merge step (tokenizer training over the corpus): the
     20 most frequent adjacent character pairs, exact. Ray shape: per batch,
@@ -3841,6 +3857,7 @@ def queries() -> Dict[str, Callable]:
         "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
         "events_decayed_user_score": q_events_decayed_user_score,
         "corpus_bpe_pair": q_corpus_bpe_pair,
+        "dedup_edit_distance": q_dedup_edit_distance,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4013,6 +4030,13 @@ def oracle_sql() -> Dict[str, str]:
             "LIMIT 10"
         ),
         "dedup_minhash_pairs": _jaccard_pairs_sql(3, 0.5),
+        "dedup_edit_distance": f"""
+WITH {_jaccard_pairs_ctes(3, 0.5)}
+SELECT p.a, p.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+FROM pairs p
+JOIN variants da ON da.vid = p.a
+JOIN variants db ON db.vid = p.b
+""",
         "dedup_ngram_pairs": _jaccard_pairs_sql(2, 0.7),
         "dedup_components": f"""
 WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},

@@ -268,6 +268,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 200,
     ngram: int = 3,
+    with_texts: bool = False,
 ):
     """Near-duplicate pairs (a < b, exact word-``ngram`` Jaccard ≥ threshold).
 
@@ -322,24 +323,21 @@ def minhash_lsh_pairs(
     )
     cand = _distinct_pairs(cand)
 
-    with_texts = _attach_pair_texts(cand, ds, id_col, text_col)
+    attached = _attach_pair_texts(cand, ds, id_col, text_col)
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep_a, keep_b = [], []
-        for a, b, ta, tb in zip(
-            batch.column("a").to_pylist(),
-            batch.column("b").to_pylist(),
-            batch.column("text_a").to_pylist(),
-            batch.column("text_b").to_pylist(),
-        ):
+        keep = []
+        tas = batch.column("text_a").to_pylist()
+        tbs = batch.column("text_b").to_pylist()
+        for i, (ta, tb) in enumerate(zip(tas, tbs)):
             if jaccard(ta or "", tb or "", ngram) >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pa.table(
-            {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
-        )
+                keep.append(i)
+        out = batch.take(pa.array(keep, pa.int64()))
+        # with_texts keeps both texts on the verified pairs so downstream
+        # pair scorers (edit distance etc.) skip a second corpus lookup
+        return out if with_texts else out.select(["a", "b"])
 
-    return with_texts.map_batches(verify, batch_format="pyarrow")
+    return attached.map_batches(verify, batch_format="pyarrow")
 
 
 def _distinct_pairs(cand):
@@ -674,3 +672,88 @@ def embedding_pairs(
 
     pairs_ds = rd.from_items(pair_ids).repartition(len(pair_ids))
     return pairs_ds.map_batches(scan_block_pair, batch_format="pyarrow")
+
+
+def batch_edit_distances(texts_a: list, texts_b: list) -> np.ndarray:
+    """Exact Levenshtein distances for a batch of string pairs, vectorized
+    ACROSS the batch (Wagner–Fischer, two-row form): the DP iterates over
+    the longest right-side length only; each row is pure numpy over a
+    (pairs × left-length) matrix. The in-row left-to-right dependency
+    ``cur[i] = min(tmp[i], cur[i-1] + 1)`` resolves without a scalar scan
+    via the distance-transform identity
+    ``cur = arange + minimum.accumulate(tmp - arange)``.
+
+    Strings decode to codepoint matrices through one utf-32 pass (no
+    per-char Python). Cost is O(max_len² · pairs) like the scalar DP, but
+    every op is a C-speed array kernel — built for candidate-pair-scale
+    inputs (the output of an LSH prefilter), not corpus² scans.
+    """
+    P = len(texts_a)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(s) for s in texts_a], np.int64)
+    lb = np.array([len(s) for s in texts_b], np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+
+    def matrix(texts, width):
+        joined = "".join(s + "\x00" * (width - len(s)) for s in texts)
+        if width == 0:
+            return np.zeros((P, 0), np.int64)
+        return (
+            np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+            .astype(np.int64)
+            .reshape(P, width)
+        )
+
+    A, B = matrix(texts_a, La), matrix(texts_b, Lb)
+    res = np.where(lb == 0, la, lb)  # one side empty → other side's length
+    idx = np.arange(La + 1, dtype=np.int64)[None, :]
+    prev = np.broadcast_to(idx, (P, La + 1)).copy()
+    tmp = np.empty((P, La + 1), np.int64)
+    for j in range(1, Lb + 1):
+        cost = (A != B[:, j - 1 : j]).astype(np.int64)
+        tmp[:, 0] = j
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=tmp[:, 1:])
+        cur = idx + np.minimum.accumulate(tmp - idx, axis=1)
+        done = lb == j
+        if done.any():
+            res[done] = cur[done, la[done]]
+        prev = cur
+    return res
+
+
+def edit_distance_pairs(
+    ds=None,
+    pairs=None,
+    id_col: str = "vid",
+    text_col: str = "text",
+    texts_attached: bool = False,
+):
+    """Exact edit-distance scoring of candidate near-dup pairs (the
+    entity-resolution confirm step), map-side via
+    :func:`batch_edit_distances`. Returns (a, b, edit_distance).
+
+    With ``texts_attached=True`` the ``pairs`` dataset already carries
+    ``text_a``/``text_b`` (e.g. from ``minhash_lsh_pairs(...,
+    with_texts=True)``) — zero extra corpus passes; otherwise both texts
+    attach through the Bloom-semi-filtered sort-merge lookup
+    (``_attach_pair_texts`` — the corpus text never shuffles)."""
+    if texts_attached:
+        with_texts = pairs
+    else:
+        with_texts = _attach_pair_texts(pairs, ds, id_col, text_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = batch_edit_distances(
+            [t or "" for t in batch.column("text_a").to_pylist()],
+            [t or "" for t in batch.column("text_b").to_pylist()],
+        )
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "edit_distance": pa.array(d, pa.int64()),
+            }
+        )
+
+    return with_texts.map_batches(score, batch_format="pyarrow")
