@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "events_decayed_user_score",
         "corpus_bpe_pair",
         "dedup_edit_distance",
+        "corpus_bpe_train",
     ]
     registry = query_registry()
     for name in secondary:

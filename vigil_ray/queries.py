@@ -365,63 +365,105 @@ def q_dedup_edit_distance(sf_dir: str):
     return edit_distance_pairs(pairs=pairs, texts_attached=True)
 
 
+_BPE_SHIFT = 1 << 21  # > max codepoint, so the packed pair key is collision-free
+
+
+def _bpe_pair_partials(batch: pa.Table) -> pa.Table:
+    """Block-local adjacent-codepoint-pair counts: texts join with a
+    ``\\x00`` sentinel and decode to a numpy codepoint array via utf-32
+    (one vectorized pass — no per-char Python); pairs pack into int64 keys
+    (c1·2²¹ + c2; sentinel pairs masked); ``np.unique`` emits the
+    character-vocab²-bounded (key, n) partial."""
+    import numpy as np
+
+    texts = batch.column("text").to_pylist()
+    joined = "\x00".join(texts)
+    arr = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    if len(arr) < 2:
+        return pa.table(
+            {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    a, b = arr[:-1], arr[1:]
+    mask = (a != 0) & (b != 0)
+    keys = a[mask] * _BPE_SHIFT + b[mask]
+    uniq, counts = np.unique(keys, return_counts=True)
+    return pa.table(
+        {
+            "key": pa.array(uniq, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _bpe_decode_pairs(batch: pa.Table) -> pa.Table:
+    keys = batch.column("key").to_pylist()
+    pairs = [chr(k // _BPE_SHIFT) + chr(k % _BPE_SHIFT) for k in keys]
+    return pa.table({"pair": pa.array(pairs, pa.string()), "n": batch.column("n")})
+
+
 def q_corpus_bpe_pair(sf_dir: str):
     """The first BPE merge step (tokenizer training over the corpus): the
-    20 most frequent adjacent character pairs, exact. Ray shape: per batch,
-    texts join with a ``\\x00`` sentinel and decode to a numpy codepoint
-    array via utf-32 (one vectorized pass — no per-char Python), adjacent
-    pairs pack into int64 keys (c1·2²¹ + c2; sentinel pairs masked),
-    ``np.unique`` emits block-local (key, n) partials; the shuffle carries
-    the character-vocab²-bounded partial table, never corpus text;
-    ``sorted_group_agg`` sums, the pairs decode back to 2-char strings and
-    a global sort takes the top 20 (ties by pair string — both sides sort
-    UTF-8/codepoint order, identical)."""
-    import numpy as np
+    20 most frequent adjacent character pairs, exact — see
+    :func:`_bpe_pair_partials`. The shuffle carries the vocab²-bounded
+    partial table, never corpus text; ``sorted_group_agg`` sums, pairs
+    decode back to 2-char strings and a global sort takes the top 20 (ties
+    by pair string — both sides sort UTF-8/codepoint order, identical)."""
+    from vigil_ray.stages.corpus import sorted_group_agg
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        _bpe_pair_partials, batch_format="pyarrow"
+    )
+    agg = sorted_group_agg(partials, ["key"], [("n", "sum", "n")])
+    return (
+        agg.map_batches(_bpe_decode_pairs, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_corpus_bpe_train(sf_dir: str):
+    """Iterated BPE training (3 merge rounds over the codepoint stream) —
+    the driver-coordinated iterative loop (the PageRank shape applied to
+    tokenizer training): each round counts adjacent pairs distributed
+    (:func:`_bpe_pair_partials`, vocab²-bounded shuffle), syncs ONE winning
+    pair to the driver (count desc, pair asc — `sorted_group_agg` + sort +
+    limit 1), and applies the merge map-side as a vectorized
+    ``replace_substring`` into a fresh private-use codepoint. Replacement
+    is left-to-right non-overlapping on every engine (Arrow, Python,
+    DuckDB `replace()`) so the rounds stay bit-identical to the SQL
+    oracle's nested-CTE replay. Returns the merge table
+    (merge_idx, pair, n)."""
+    import pyarrow.compute as pc
 
     from vigil_ray.stages.corpus import sorted_group_agg
 
-    SHIFT = 1 << 21  # > max codepoint, so the packed key is collision-free
+    ds = _docs(sf_dir, ["text"])
+    merges = []
+    for step in range(3):
+        partials = ds.map_batches(_bpe_pair_partials, batch_format="pyarrow")
+        agg = sorted_group_agg(partials, ["key"], [("n", "sum", "n")])
+        top = (
+            agg.map_batches(_bpe_decode_pairs, batch_format="pyarrow")
+            .sort(["n", "pair"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )[0]
+        pair, n = top["pair"], int(top["n"])
+        merges.append((step + 1, pair, n))
+        token = chr(0xE000 + step)
 
-    def pair_partials(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        joined = "\x00".join(texts)
-        arr = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
-            np.int64
-        )
-        if len(arr) < 2:
+        def apply_merge(batch: pa.Table, _p=pair, _t=token) -> pa.Table:
             return pa.table(
-                {
-                    "key": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
+                {"text": pc.replace_substring(batch.column("text"), _p, _t)}
             )
-        a, b = arr[:-1], arr[1:]
-        mask = (a != 0) & (b != 0)
-        keys = a[mask] * SHIFT + b[mask]
-        uniq, counts = np.unique(keys, return_counts=True)
-        return pa.table(
-            {
-                "key": pa.array(uniq, pa.int64()),
-                "n": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
 
-    partials = _docs(sf_dir, ["text"]).map_batches(
-        pair_partials, batch_format="pyarrow"
-    )
-    agg = sorted_group_agg(partials, ["key"], [("n", "sum", "n")])
-
-    def decode(batch: pa.Table) -> pa.Table:
-        keys = batch.column("key").to_pylist()
-        pairs = [chr(k // SHIFT) + chr(k % SHIFT) for k in keys]
-        return pa.table(
-            {"pair": pa.array(pairs, pa.string()), "n": batch.column("n")}
-        )
-
-    return (
-        agg.map_batches(decode, batch_format="pyarrow")
-        .sort(["n", "pair"], descending=[True, False])
-        .limit(20)
+        ds = ds.map_batches(apply_merge, batch_format="pyarrow")
+    return pa.table(
+        {
+            "merge_idx": pa.array([m[0] for m in merges], pa.int64()),
+            "pair": pa.array([m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
+        }
     )
 
 
@@ -3858,6 +3900,7 @@ def queries() -> Dict[str, Callable]:
         "events_decayed_user_score": q_events_decayed_user_score,
         "corpus_bpe_pair": q_corpus_bpe_pair,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "corpus_bpe_train": q_corpus_bpe_train,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4874,6 +4917,33 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "p AS (SELECT substring(text, CAST(i AS BIGINT), 2) AS pair FROM pos), "
             "c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair) "
             "SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20"
+        ),
+        "corpus_bpe_train": (
+            # nested-CTE replay of the 3-round merge loop; chr(57344+r) are
+            # the same private-use merge tokens the engine allocates
+            "WITH t0 AS (SELECT text FROM documents), "
+            "c1 AS (SELECT substring(text, CAST(i AS BIGINT), 2) AS pair, "
+            "    CAST(count(*) AS BIGINT) AS n "
+            "  FROM (SELECT text, unnest(range(1, length(text))) AS i FROM t0 "
+            "    WHERE length(text) >= 2) GROUP BY pair), "
+            "m1 AS (SELECT pair, n FROM c1 ORDER BY n DESC, pair LIMIT 1), "
+            "t1 AS (SELECT replace(text, (SELECT pair FROM m1), chr(57344)) AS text "
+            "  FROM t0), "
+            "c2 AS (SELECT substring(text, CAST(i AS BIGINT), 2) AS pair, "
+            "    CAST(count(*) AS BIGINT) AS n "
+            "  FROM (SELECT text, unnest(range(1, length(text))) AS i FROM t1 "
+            "    WHERE length(text) >= 2) GROUP BY pair), "
+            "m2 AS (SELECT pair, n FROM c2 ORDER BY n DESC, pair LIMIT 1), "
+            "t2 AS (SELECT replace(text, (SELECT pair FROM m2), chr(57345)) AS text "
+            "  FROM t1), "
+            "c3 AS (SELECT substring(text, CAST(i AS BIGINT), 2) AS pair, "
+            "    CAST(count(*) AS BIGINT) AS n "
+            "  FROM (SELECT text, unnest(range(1, length(text))) AS i FROM t2 "
+            "    WHERE length(text) >= 2) GROUP BY pair), "
+            "m3 AS (SELECT pair, n FROM c3 ORDER BY n DESC, pair LIMIT 1) "
+            "SELECT CAST(1 AS BIGINT) AS merge_idx, pair, n FROM m1 "
+            "UNION ALL SELECT 2, pair, n FROM m2 "
+            "UNION ALL SELECT 3, pair, n FROM m3"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
