@@ -1076,3 +1076,34 @@ class TestUrlDedup:
         assert out.loc["https://site.test/x", "keeper_row_id"] == 3
         assert out.loc["https://site.test/x", "n_variants"] == 2
         assert out.loc["https://site.test/x?page=2", "n_variants"] == 1
+
+
+class TestWebtextKernels:
+    def test_tail_regex_is_last_five_tokens(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vigil_ray.queries import _TAIL_RE
+
+        cases = [
+            ("a b c d e f g", "c d e f g"),      # > 5 tokens
+            ("a b c d e", "a b c d e"),          # exactly 5
+            ("a b", "a b"),                       # < 5
+            ("solo", "solo"),                     # 1 token
+            ("xabc bb cc dd ee ff", "bb cc dd ee ff"),  # mid-word start trap
+        ]
+        arr = pa.array([c[0] for c in cases])
+        got = pc.struct_field(pc.extract_regex(arr, _TAIL_RE), "tail").to_pylist()
+        assert got == [c[1] for c in cases]
+
+    def test_bpe_pair_partials_counts_and_sentinel(self):
+        import pyarrow as pa
+
+        from vigil_ray.queries import _BPE_SHIFT, _bpe_pair_partials
+
+        batch = pa.table({"text": ["abab", "ba"]})
+        out = _bpe_pair_partials(batch)
+        got = dict(zip(out.column("key").to_pylist(), out.column("n").to_pylist()))
+        key = lambda a, b: ord(a) * _BPE_SHIFT + ord(b)
+        # "abab": ab, ba, ab; "ba": ba — and NO cross-doc pair b|b
+        assert got == {key("a", "b"): 2, key("b", "a"): 2}

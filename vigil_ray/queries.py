@@ -367,6 +367,11 @@ def q_dedup_edit_distance(sf_dir: str):
 
 _BPE_SHIFT = 1 << 21  # > max codepoint, so the packed pair key is collision-free
 
+# leftmost RE2 match = exactly the last <=5 whitespace tokens (an earlier
+# start would need a 6th token to reach $); shared by the template-tail
+# detection and boilerplate-scrub queries and pinned by unit test
+_TAIL_RE = r"(?P<tail>(?:\S+\s+){0,4}\S+)$"
+
 
 def _bpe_pair_partials(batch: pa.Table) -> pa.Table:
     """Block-local adjacent-codepoint-pair counts: texts join with a
@@ -566,7 +571,7 @@ def q_pages_template_tails(sf_dir: str):
         import pyarrow.compute as pc
 
         m = pc.extract_regex(
-            batch.column("text"), r"(?P<tail>(?:\S+\s+){0,4}\S+)$"
+            batch.column("text"), _TAIL_RE
         )
         return pa.table(
             {
@@ -596,13 +601,11 @@ def q_pages_boilerplate_scrub(sf_dir: str):
     from vigil_ray.stages.corpus import sorted_group_agg
     from vigil_ray.stages.joins import broadcast_join
 
-    tail_re = r"(?P<tail>(?:\S+\s+){0,4}\S+)$"
-
     def with_tails(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         t = pc.struct_field(
-            pc.extract_regex(batch.column("text"), tail_re), "tail"
+            pc.extract_regex(batch.column("text"), _TAIL_RE), "tail"
         )
         return pa.table(
             {
