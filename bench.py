@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "corpus_bpe_pair",
         "dedup_edit_distance",
         "corpus_bpe_train",
+        "frontier_prep",
     ]
     registry = query_registry()
     for name in secondary:

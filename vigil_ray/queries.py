@@ -678,6 +678,48 @@ def q_docs_url_dedup(sf_dir: str):
     return url_dedup(ds, url_col="url", id_col="row_id")
 
 
+def q_frontier_prep(sf_dir: str):
+    """Composed crawl-frontier prep — the polite-crawler governance
+    pipeline: canonicalize URLs (the `docs_url_dedup` rules) → exact dedup
+    on the canonical URL (keeper = min row_id) → extract the registered
+    domain (last two host labels, RE2 map-side) → drop blocklisted domains
+    (tiny static set) → politeness cap of 10 URLs per domain (smallest
+    keeper ids win, `corpus.per_key_cap`'s collect-truncate — ≤cap ids per
+    (block, domain) in the shuffle). Output: (domain, row_id) survivors.
+    Everything between the two bounded shuffles is map-side; page bodies
+    never exist on this path at all."""
+    import ray.data as rd
+
+    from vigil_ray.sources.pages import synthesize_frontier
+    from vigil_ray.stages.corpus import per_key_cap, url_dedup
+
+    table = synthesize_frontier(sf_dir)
+    ds = rd.from_arrow(table).repartition(max(1, table.num_rows // 512))
+    dedup = url_dedup(ds)  # (canonical_url, keeper_row_id, n_variants)
+
+    blocked = pa.array(["dom0.test", "dom7.test"])
+
+    def domains(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        host = pc.struct_field(
+            pc.extract_regex(
+                batch.column("canonical_url"), r"^https://(?P<host>[^/]+)"
+            ),
+            "host",
+        )
+        dom = pc.struct_field(
+            pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$"), "d"
+        )
+        keep = pc.invert(pc.is_in(dom, value_set=blocked))
+        return pa.table(
+            {"domain": dom, "row_id": batch.column("keeper_row_id")}
+        ).filter(keep)
+
+    filtered = dedup.map_batches(domains, batch_format="pyarrow")
+    return per_key_cap(filtered, "domain", "row_id", cap=10)
+
+
 def q_docs_delta_ingest(sf_dir: str):
     """Incremental-ingest dedup — the daily-crawl shape: today's delta shard
     (the appended-copy rows of the variants corpus, vid ≥ EXACT_COPY_OFFSET)
@@ -3904,6 +3946,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_bpe_pair": q_corpus_bpe_pair,
         "dedup_edit_distance": q_dedup_edit_distance,
         "corpus_bpe_train": q_corpus_bpe_train,
+        "frontier_prep": q_frontier_prep,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4947,6 +4990,32 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT CAST(1 AS BIGINT) AS merge_idx, pair, n FROM m1 "
             "UNION ALL SELECT 2, pair, n FROM m2 "
             "UNION ALL SELECT 3, pair, n FROM m3"
+        ),
+        "frontier_prep": (
+            "WITH u(row_id, url) AS ("
+            "  SELECT doc_id, 'https://sub' || CAST(doc_id % 3 AS VARCHAR) || "
+            "    '.dom' || CAST(doc_id % 11 AS VARCHAR) || '.test/p/' || "
+            "    CAST(doc_id AS VARCHAR) FROM documents "
+            "  UNION ALL "
+            "  SELECT doc_id + 40000000, 'HTTP://WWW.SUB' || "
+            "    CAST(doc_id % 3 AS VARCHAR) || '.DOM' || "
+            "    CAST(doc_id % 11 AS VARCHAR) || '.TEST/p/' || "
+            "    CAST(doc_id AS VARCHAR) || '?utm_source=x#f' "
+            "  FROM documents WHERE doc_id % 4 = 1), "
+            "n1 AS (SELECT row_id, regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "  '[?&]utm_.*$', '') AS v FROM u), "
+            "n2 AS (SELECT row_id, 'https://' || "
+            "  regexp_replace(lower(regexp_extract(v, '^(?i:https?)://([^/]*)', 1)), "
+            "    '^www\\.', '') || "
+            "  regexp_replace(regexp_replace(v, '^(?i:https?)://[^/]*', ''), '/$', '') "
+            "  AS canonical_url FROM n1), "
+            "g AS (SELECT canonical_url, min(row_id) AS row_id FROM n2 "
+            "  GROUP BY canonical_url), "
+            "d AS (SELECT row_id, regexp_extract(regexp_extract(canonical_url, "
+            "  '^https://([^/]+)', 1), '([^.]+\\.[^.]+)$', 1) AS domain FROM g), "
+            "f AS (SELECT * FROM d WHERE domain NOT IN ('dom0.test', 'dom7.test')) "
+            "SELECT domain, row_id FROM (SELECT domain, row_id, row_number() OVER "
+            "  (PARTITION BY domain ORDER BY row_id) AS rn FROM f) WHERE rn <= 10"
         ),
         "docs_dup_triangles": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "

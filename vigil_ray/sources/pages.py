@@ -216,6 +216,39 @@ def synthesize_url_variants(sf_dir: str) -> pa.Table:
     )
 
 
+FRONTIER_TRACKED_OFFSET = 40_000_000  # doc_id % 4 == 1 → decorated dup URL
+
+
+def synthesize_frontier(sf_dir: str) -> pa.Table:
+    """Multi-domain crawl frontier for the composed frontier-prep pipeline
+    (canonicalize → dedup → domain blocklist → per-domain politeness cap):
+
+    - every doc contributes ``https://sub{i%3}.dom{i%11}.test/p/{i}`` at
+      ``row_id = doc_id`` — 11 registered domains, 3 subdomains each;
+    - ``doc_id % 4 == 1``: an http + WWW-cased + utm-tracked + fragment
+      variant of the same resource (collapses onto the base row after
+      canonicalization).
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    row_ids, urls = [], []
+    for i in ids:
+        host = f"sub{i % 3}.dom{i % 11}.test"
+        row_ids.append(i)
+        urls.append(f"https://{host}/p/{i}")
+        if i % 4 == 1:
+            row_ids.append(i + FRONTIER_TRACKED_OFFSET)
+            urls.append(f"HTTP://WWW.{host.upper()}/p/{i}?utm_source=x#f")
+    return pa.table(
+        {
+            "row_id": pa.array(row_ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+
+
 def family_of(k: int) -> int:
     return k % N_FAMILIES
 
