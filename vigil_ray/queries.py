@@ -774,6 +774,50 @@ def q_dedup_components(sf_dir: str):
     return comp.rename_columns({"node": "vid"})
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size distribution — THE dedup report a corpus run
+    ships: how many clusters of each size the near-dup graph contains
+    (template families show up as the large-size tail). Components from the
+    MinHash pair set → per-component member count → per-size cluster count.
+    Both rollups ride `sorted_group_agg` (component-scale, then size-scale —
+    monotonically shrinking tables, never the corpus)."""
+    import numpy as np
+
+    from vigil_ray.stages.corpus import sorted_group_agg
+    from vigil_ray.stages.dedup import minhash_lsh_pairs
+    from vigil_ray.stages.graph import connected_components
+
+    comp = connected_components(minhash_lsh_pairs(_variants_ds(sf_dir), threshold=0.5))
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": batch.column("component"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    per_comp = sorted_group_agg(
+        comp.map_batches(one, batch_format="pyarrow"),
+        ["component"],
+        [("one", "sum", "cluster_size")],
+    )
+
+    def one2(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": batch.column("cluster_size"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    return sorted_group_agg(
+        per_comp.map_batches(one2, batch_format="pyarrow"),
+        ["cluster_size"],
+        [("one", "sum", "n_clusters")],
+    )
+
+
 def q_dedup_canonical(sf_dir: str):
     """End-to-end cluster-level dedup: MinHash pairs → connected components
     → keep the LONGEST member per cluster (ties → smallest vid), plus every
@@ -3947,6 +3991,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "corpus_bpe_train": q_corpus_bpe_train,
         "frontier_prep": q_frontier_prep,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4131,6 +4176,14 @@ JOIN variants db ON db.vid = p.b
 WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},
 {_COMPONENTS_CTES.strip().rstrip()}
 SELECT node AS vid, CAST(component AS BIGINT) AS component FROM comp
+""",
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},
+{_COMPONENTS_CTES.strip().rstrip()},
+csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM csizes GROUP BY cluster_size
 """,
         "dedup_canonical": f"""
 WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},
