@@ -1154,6 +1154,54 @@ def q_ann_ivf_persisted_top10(sf_dir: str):
     return _ann_recall_table(approx, sf_dir)
 
 
+def q_ann_recall_curve(sf_dir: str):
+    """Multi-probe recall curve over the persisted IVF index — the ANN
+    quality report: recall@10 vs exact brute force at n_probe ∈ {1,2,4,8}.
+    Monotonicity is GUARANTEED (probed cell sets are nested as n_probe
+    grows, and an exact top-k member among the candidates can only be
+    displaced by other exact top-k members), so each row asserts
+    recall(n_probe) ≥ recall(prev) and the last row additionally asserts
+    the 0.7 bound — driver-visible exactness for an approximate operator
+    (the `_ann_recall_table` pattern extended to the quality curve)."""
+    import os
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.ann import (
+        brute_force_topk,
+        data_fingerprint,
+        ivf_build,
+        ivf_query,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    ds = read_table(src)
+    n_cells, _ = _ivf_params(ds.count())
+    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
+    ivf_build(ds, index_dir, n_cells=n_cells, fingerprint=data_fingerprint(src))
+    q = _ann_query_vec(sf_dir)
+    exact_ids = set(
+        brute_force_topk(
+            read_table(src, columns=["vec_id", "embedding"]), q, k=10
+        ).to_pandas()["vec_id"]
+    )
+    probes = [1, 2, 4, 8]
+    oks, prev = [], -1.0
+    for p in probes:
+        ids = set(
+            ivf_query(index_dir, q, k=10, n_probe=min(p, n_cells))
+            .to_pandas()["vec_id"]
+        )
+        rec = len(ids & exact_ids) / 10.0
+        oks.append(bool(rec >= prev and (p != probes[-1] or rec >= 0.7)))
+        prev = rec
+    return pa.table(
+        {
+            "n_probe": pa.array(probes, pa.int64()),
+            "ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
 def q_order_priority_items(sf_dir: str):
     """Both-sides-large join: orders ⨝ lineitem on o_orderkey, per-priority
     line counts. Uses Ray's hash-partitioned ``Dataset.join`` (both sides
@@ -3992,6 +4040,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_bpe_train": q_corpus_bpe_train,
         "frontier_prep": q_frontier_prep,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "ann_recall_curve": q_ann_recall_curve,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4304,6 +4353,10 @@ SELECT a, b FROM pairdist WHERE d <= 3
         "ann_ivf_top10": "SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok",
         "ann_ivf_persisted_top10": (
             "SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok"
+        ),
+        "ann_recall_curve": (
+            "SELECT * FROM (VALUES (CAST(1 AS BIGINT), TRUE), (2, TRUE), "
+            "(4, TRUE), (8, TRUE)) AS t(n_probe, ok)"
         ),
         "order_priority_items": (
             "SELECT o.o_orderpriority, count(*) AS n_items "
