@@ -329,3 +329,24 @@ class TestBatchEditDistances:
         got = batch_edit_distances(ta, tb)
         for a, b, g in zip(ta, tb, got):
             assert g == self._ref(a, b), (a, b, g)
+
+    def test_max_distance_cutoff(self):
+        import random
+
+        import numpy as np
+
+        from vigil_ray.stages.dedup import batch_edit_distances
+
+        rng = random.Random(3)
+        alpha = "abcde "
+        ta, tb = [], []
+        for _ in range(120):
+            ta.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 50))))
+            tb.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 50))))
+        exact = batch_edit_distances(ta, tb)
+        for d in (0, 1, 3, 7, 15):
+            got = batch_edit_distances(ta, tb, max_distance=d)
+            assert (got == np.minimum(exact, d + 1)).all()
+        assert list(
+            batch_edit_distances(["", "abc", ""], ["xy", "", ""], max_distance=1)
+        ) == [2, 2, 0]

@@ -674,7 +674,9 @@ def embedding_pairs(
     return pairs_ds.map_batches(scan_block_pair, batch_format="pyarrow")
 
 
-def batch_edit_distances(texts_a: list, texts_b: list) -> np.ndarray:
+def batch_edit_distances(
+    texts_a: list, texts_b: list, max_distance: int | None = None
+) -> np.ndarray:
     """Exact Levenshtein distances for a batch of string pairs, vectorized
     ACROSS the batch (Wagner–Fischer, two-row form): the DP iterates over
     the longest right-side length only; each row is pure numpy over a
@@ -687,38 +689,75 @@ def batch_edit_distances(texts_a: list, texts_b: list) -> np.ndarray:
     per-char Python). Cost is O(max_len² · pairs) like the scalar DP, but
     every op is a C-speed array kernel — built for candidate-pair-scale
     inputs (the output of an LSH prefilter), not corpus² scans.
+
+    ``max_distance=d`` is the long-document scale valve (Ukkonen-style
+    cutoff): distances ≤ d stay exact, anything beyond reports d+1. Pairs
+    whose length difference alone exceeds d skip the DP entirely, and a
+    pair whose DP row minimum passes d is settled early (row minima are
+    non-decreasing) — verification cost stops tracking document length for
+    genuinely distant pairs.
     """
     P = len(texts_a)
     if P == 0:
         return np.zeros(0, np.int64)
-    la = np.array([len(s) for s in texts_a], np.int64)
-    lb = np.array([len(s) for s in texts_b], np.int64)
+    la_all = np.array([len(s) for s in texts_a], np.int64)
+    lb_all = np.array([len(s) for s in texts_b], np.int64)
+    res = np.where(lb_all == 0, la_all, lb_all)  # one side empty
+
+    if max_distance is not None:
+        cap = max_distance + 1
+        np.minimum(res, cap, out=res)
+        live = np.abs(la_all - lb_all) <= max_distance
+        res[~live & (lb_all > 0) & (la_all > 0)] = cap
+        live &= (la_all > 0) & (lb_all > 0)
+    else:
+        cap = None
+        live = (la_all > 0) & (lb_all > 0)
+    sel = np.flatnonzero(live)
+    if len(sel) == 0:
+        return res
+    texts_a = [texts_a[i] for i in sel]
+    texts_b = [texts_b[i] for i in sel]
+    la, lb = la_all[sel], lb_all[sel]
+    n = len(sel)
     La, Lb = int(la.max()), int(lb.max())
 
     def matrix(texts, width):
         joined = "".join(s + "\x00" * (width - len(s)) for s in texts)
-        if width == 0:
-            return np.zeros((P, 0), np.int64)
         return (
             np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
             .astype(np.int64)
-            .reshape(P, width)
+            .reshape(n, width)
         )
 
     A, B = matrix(texts_a, La), matrix(texts_b, Lb)
-    res = np.where(lb == 0, la, lb)  # one side empty → other side's length
+    out = np.zeros(n, np.int64)
     idx = np.arange(La + 1, dtype=np.int64)[None, :]
-    prev = np.broadcast_to(idx, (P, La + 1)).copy()
-    tmp = np.empty((P, La + 1), np.int64)
+    prev = np.broadcast_to(idx, (n, La + 1)).copy()
+    tmp = np.empty((n, La + 1), np.int64)
+    active = np.ones(n, bool)
     for j in range(1, Lb + 1):
         cost = (A != B[:, j - 1 : j]).astype(np.int64)
         tmp[:, 0] = j
         np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=tmp[:, 1:])
         cur = idx + np.minimum.accumulate(tmp - idx, axis=1)
-        done = lb == j
+        done = active & (lb == j)
         if done.any():
-            res[done] = cur[done, la[done]]
+            out[done] = cur[done, la[done]]
+            active &= ~done
+        if cap is not None and active.any():
+            # row minima never decrease → once a pair's whole row exceeds
+            # max_distance its final distance does too: settle at cap
+            over = active & (cur.min(axis=1) > max_distance)
+            if over.any():
+                out[over] = cap
+                active &= ~over
+        if not active.any():
+            break
         prev = cur
+    if cap is not None:
+        np.minimum(out, cap, out=out)
+    res[sel] = out
     return res
 
 
@@ -728,6 +767,7 @@ def edit_distance_pairs(
     id_col: str = "vid",
     text_col: str = "text",
     texts_attached: bool = False,
+    max_distance: int | None = None,
 ):
     """Exact edit-distance scoring of candidate near-dup pairs (the
     entity-resolution confirm step), map-side via
@@ -747,6 +787,7 @@ def edit_distance_pairs(
         d = batch_edit_distances(
             [t or "" for t in batch.column("text_a").to_pylist()],
             [t or "" for t in batch.column("text_b").to_pylist()],
+            max_distance=max_distance,
         )
         return pa.table(
             {
