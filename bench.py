@@ -201,6 +201,7 @@ def run_bench() -> dict:
         "dedup_edit_distance",
         "corpus_bpe_train",
         "frontier_prep",
+        "events_rolling_median",
     ]
     registry = query_registry()
     for name in secondary:

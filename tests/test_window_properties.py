@@ -195,3 +195,46 @@ class TestMonoidOpProperties:
                 cutoff = min(ts)
                 want[s] += 1
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingMedianProperties:
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        nblocks=st.integers(min_value=1, max_value=7),
+        window=st.integers(min_value=2, max_value=6),
+    )
+    @settings(**_SETTINGS)
+    def test_matches_pandas_rolling_median(self, rows, nblocks, window):
+        from vigil_ray.stages.corpus import grouped_rolling_median
+
+        df = pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "t": range(len(rows)),
+                "v": [r[1] for r in rows],
+            }
+        )
+        out = (
+            grouped_rolling_median(
+                _ds(df, nblocks), ["k"], ["t"], "v", window=window, out_col="m"
+            )
+            .to_pandas()
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "t"]).reset_index(drop=True)
+        want["m"] = (
+            want.groupby("k")["v"]
+            .rolling(window, min_periods=1)
+            .median()
+            .reset_index(level=0, drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["k", "t", "v", "m"]], want, check_dtype=False)

@@ -472,6 +472,40 @@ def q_corpus_bpe_train(sf_dir: str):
     )
 
 
+def q_events_rolling_median(sf_dir: str):
+    """Per-event trailing-5 rolling MEDIAN of the user's event values — a
+    per-row order-statistic window (nonlinear: prefix scans can't express
+    it), via :func:`vigil_ray.stages.corpus.grouped_rolling_median` — the
+    sorted-block two-phase shape with a chained ≤4-value tail carry; no
+    worker or accumulator holds a user's history. Integer cents make every
+    ≤5-element median a dyadic-exact double, bit-matching the SQL window
+    ``median``."""
+    import numpy as np
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_rolling_median
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rows = ev.map_batches(cents, batch_format="pyarrow")
+    out = grouped_rolling_median(
+        rows, ["user_id"], ["ts"], "cents", window=5, out_col="med_cents"
+    )
+    return out.select_columns(["user_id", "ts", "med_cents"])
+
+
 def q_events_decayed_user_score(sf_dir: str):
     """Recency-weighted user activity score (exponential decay — the
     feature-store recency feature): over each user's 20 most recent events,
@@ -4041,6 +4075,7 @@ def queries() -> Dict[str, Callable]:
         "frontier_prep": q_frontier_prep,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "ann_recall_curve": q_ann_recall_curve,
+        "events_rolling_median": q_events_rolling_median,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -5062,6 +5097,12 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "    ORDER BY ts DESC) AS rn FROM events) "
             "SELECT user_id, CAST(sum(cents * pow(0.5, rn)) AS DOUBLE) AS score "
             "FROM r WHERE rn <= 20 GROUP BY user_id"
+        ),
+        "events_rolling_median": (
+            "SELECT user_id, ts, CAST(median(CAST(floor(value * 100 + 0.5) "
+            "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med_cents "
+            "FROM events"
         ),
         "corpus_bpe_pair": (
             "WITH pos AS (SELECT text, unnest(range(1, length(text))) AS i "

@@ -970,6 +970,119 @@ def grouped_shift(
     return ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_rolling_median(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window: int = 5,
+    out_col: str = "rolling_median",
+):
+    """SQL ``median(v) OVER (PARTITION BY key ORDER BY ord ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` — a per-row ORDER-STATISTIC
+    window (nonlinear, unlike the prefix-scan sums), on the same two-phase
+    sorted-block shape as :func:`grouped_shift`, generalized from a 1-row
+    edge to a chained ≤(window−1)-row tail carry:
+
+    1. global sort pins the layout; an edges pass emits each block's
+       first/last key and the trailing ≤window−1 values of its LAST run;
+    2. the driver walks blocks in order CHAINING tails — a run spanning
+       many short blocks accumulates its true trailing values, and each
+       block receives the carry its first run needs (≤window−1 values per
+       block of driver state, never a key's history);
+    3. an identical-layout second pass computes every row's trailing-window
+       median fully vectorized: ``sliding_window_view`` over the
+       carry-extended values, run-start masking, ``nanmedian``.
+
+    Values must be integers (quantize first); medians of ≤``window`` ints
+    are dyadic-exact doubles, so the result bit-matches a SQL ``median``
+    window aggregate. ``key_cols + order_cols`` must be row-unique.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with siblings)
+    import ray
+
+    from vigil_ray.stages.blocks import coalesce_blocks
+    from vigil_ray.stages.runs import run_starts as _run_starts_impl
+
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    sort_cols = key_cols + order_cols
+    k_carry = window - 1
+    ds = compact_blocks(coalesce_blocks(ds).sort(sort_cols))
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.slice(0, 0).select(sort_cols)
+            t = t.append_column("tail", pa.array([], pa.list_(pa.int64())))
+            for c in key_cols:
+                t = t.append_column(f"__last_{c}", batch.slice(0, 0).column(c))
+            return t
+        n = batch.num_rows
+        starts = _run_starts_impl(batch, key_cols)
+        last_start = int(starts[-1])
+        vals = (
+            batch.column(value_col)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tail = vals[max(last_start, n - k_carry) : n].tolist()
+        t = batch.slice(0, 1).select(sort_cols)  # block id = first-row tuple
+        t = t.append_column("tail", pa.array([tail], pa.list_(pa.int64())))
+        for c in key_cols:
+            t = t.append_column(f"__last_{c}", batch.slice(n - 1, 1).column(c))
+        return t
+
+    edges = ds.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    edges.sort(key=lambda r: tuple(r[c] for c in sort_cols))
+
+    carries = {}
+    running: list = []
+    prev_last_key = None
+    for e in edges:
+        block_id = tuple(e[c] for c in sort_cols)
+        first_key = tuple(e[c] for c in key_cols)
+        last_key = tuple(e[f"__last_{c}"] for c in key_cols)
+        carries[block_id] = list(running) if first_key == prev_last_key else []
+        tail = list(e["tail"])
+        if first_key == last_key and first_key == prev_last_key:
+            running = (running + tail)[-k_carry:]
+        else:
+            running = tail
+        prev_last_key = last_key
+    carry_ref = ray.put(carries)
+
+    def med(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.nulls(0, pa.float64()))
+        n = batch.num_rows
+        starts = _run_starts_impl(batch, key_cols)
+        lengths = np.diff(np.append(starts, n))
+        block_id = tuple(batch.column(c)[0].as_py() for c in sort_cols)
+        carry = np.asarray(ray.get(carry_ref)[block_id], np.float64)
+        off = len(carry)
+        vals = (
+            batch.column(value_col)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        ext = np.concatenate([carry, vals])
+        run_start_ext = np.repeat(starts + off, lengths)
+        run_start_ext[: lengths[0]] = 0  # first run reaches into the carry
+        eext = np.concatenate([np.full(window - 1, np.nan), ext])
+        win = np.lib.stride_tricks.sliding_window_view(eext, window)
+        pos = np.arange(n, dtype=np.int64) + off
+        w = win[pos].copy()
+        elem_pos = pos[:, None] - (window - 1) + np.arange(window)[None, :]
+        w[elem_pos < run_start_ext[:, None]] = np.nan
+        out = np.nanmedian(w, axis=1)
+        return batch.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(med, batch_format="pyarrow", batch_size=None)
+
+
 def pack_shards(ds, id_col: str, cost_col: str, shard_size: int):
     """Greedy in-order shard packing: documents in ``id_col`` order are
     assigned to consecutive shards of ≈``shard_size`` cost units
