@@ -202,6 +202,7 @@ def run_bench() -> dict:
         "corpus_bpe_train",
         "frontier_prep",
         "events_rolling_median",
+        "split_leakage",
     ]
     registry = query_registry()
     for name in secondary:

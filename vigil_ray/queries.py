@@ -712,6 +712,74 @@ def q_docs_url_dedup(sf_dir: str):
     return url_dedup(ds, url_col="url", id_col="row_id")
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/test split leakage audit (eval hygiene): distinct 5-gram
+    counts per split and the cross-split overlap, over the SAME md5 hash
+    split as `docs_hash_split` (val docs excluded). Ray shape: per-doc
+    distinct grams exploded map-side as (gram, in_train, in_test) rows →
+    one `sorted_group_agg` max-reduce per gram → block-local indicator sums
+    → block-count-sized driver fold. The only shuffle carries gram rows —
+    inherent to an exact overlap count (the segment-dedup class)."""
+    import hashlib
+
+    import numpy as np
+
+    from vigil_ray.kernel.textstats import word_ngrams
+    from vigil_ray.stages.corpus import sorted_group_agg
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        g_col, tr_col, te_col = [], [], []
+        for i, t in zip(ids, texts):
+            b = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 100
+            if 80 <= b < 90:  # val split: not part of the train/test audit
+                continue
+            is_tr = b < 80
+            for g in set(word_ngrams(t or "", 5)):
+                g_col.append(g)
+                tr_col.append(1 if is_tr else 0)
+                te_col.append(0 if is_tr else 1)
+        return pa.table(
+            {
+                "g": pa.array(g_col, pa.string()),
+                "tr": pa.array(tr_col, pa.int64()),
+                "te": pa.array(te_col, pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+    agg = sorted_group_agg(rows, ["g"], [("tr", "max", "tr"), ("te", "max", "te")])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tr = batch.column("tr").to_numpy(zero_copy_only=False)
+        te = batch.column("te").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_train_grams": pa.array([int(tr.sum())], pa.int64()),
+                "n_test_grams": pa.array([int(te.sum())], pa.int64()),
+                "n_shared": pa.array([int((tr & te).sum())], pa.int64()),
+            }
+        )
+
+    parts = agg.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # block-count-sized
+    return pa.table(
+        {
+            "n_train_grams": pa.array(
+                [sum(p["n_train_grams"] for p in parts)], pa.int64()
+            ),
+            "n_test_grams": pa.array(
+                [sum(p["n_test_grams"] for p in parts)], pa.int64()
+            ),
+            "n_shared": pa.array([sum(p["n_shared"] for p in parts)], pa.int64()),
+        }
+    )
+
+
 def q_frontier_prep(sf_dir: str):
     """Composed crawl-frontier prep — the polite-crawler governance
     pipeline: canonicalize URLs (the `docs_url_dedup` rules) → exact dedup
@@ -4076,6 +4144,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "ann_recall_curve": q_ann_recall_curve,
         "events_rolling_median": q_events_rolling_median,
+        "split_leakage": q_split_leakage,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -5103,6 +5172,25 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med_cents "
             "FROM events"
+        ),
+        "split_leakage": (
+            # same md5-bucket split as docs_hash_split; short docs (<5
+            # words) emit one whole-text gram, mirroring kernel word_ngrams
+            "WITH s AS (SELECT doc_id, text, "
+            "  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) "
+            "    AS BIGINT) % 100 AS b FROM documents), "
+            "l AS (SELECT CASE WHEN b < 80 THEN 'train' ELSE 'test' END AS split, "
+            "  text FROM s WHERE b < 80 OR b >= 90), "
+            "w AS (SELECT split, regexp_split_to_array(lower(trim(text)), '\\s+') "
+            "  AS words FROM l WHERE trim(text) <> ''), "
+            "g AS (SELECT DISTINCT split, array_to_string(words[i:i+4], ' ') AS gram "
+            "  FROM w, LATERAL unnest(range(1, "
+            "    greatest(array_length(words) - 3, 2))) AS t(i)), "
+            "agg AS (SELECT gram, max(split = 'train') AS tr, "
+            "  max(split = 'test') AS te FROM g GROUP BY gram) "
+            "SELECT CAST(count(*) FILTER (WHERE tr) AS BIGINT) AS n_train_grams, "
+            "CAST(count(*) FILTER (WHERE te) AS BIGINT) AS n_test_grams, "
+            "CAST(count(*) FILTER (WHERE tr AND te) AS BIGINT) AS n_shared FROM agg"
         ),
         "corpus_bpe_pair": (
             "WITH pos AS (SELECT text, unnest(range(1, length(text))) AS i "
