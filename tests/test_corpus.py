@@ -1054,6 +1054,10 @@ class TestUrlDedup:
             ("https://example.test/a#sec", "https://example.test/a"),
             # www + host case only
             ("https://WWW.EXAMPLE.test/a", "https://example.test/a"),
+            # non-http(s) rows keep their stripped raw string as the key —
+            # they must NOT collapse into one null group
+            ("example.test/x", "example.test/x"),
+            ("ftp://a.test/y#frag", "ftp://a.test/y"),
         ]
         ds = rd.from_items([{"url": u} for u, _ in cases])
         out = canonicalize_urls(ds).to_pandas()

@@ -462,7 +462,10 @@ def q_corpus_bpe_train(sf_dir: str):
                 {"text": pc.replace_substring(batch.column("text"), _p, _t)}
             )
 
-        ds = ds.map_batches(apply_merge, batch_format="pyarrow")
+        # materialize per round: the next round's count consumes this text
+        # twice over the loop — without pinning, round r re-executes all
+        # r-1 earlier replace passes plus the read (quadratic in rounds)
+        ds = ds.map_batches(apply_merge, batch_format="pyarrow").materialize()
     return pa.table(
         {
             "merge_idx": pa.array([m[0] for m in merges], pa.int64()),
@@ -569,8 +572,9 @@ def q_events_decayed_user_score(sf_dir: str):
         out = np.empty(len(users), np.float64)
         w = np.ldexp(1.0, -np.arange(1, K + 1))  # exact 0.5^rank
         for i, pairs in enumerate(recents):
-            top = _topk([tuple(p) for p in pairs])
-            c = np.asarray([p[1] for p in top], np.float64)
+            # merge/accumulate keep 'recent' sorted most-recent-first and
+            # truncated to K; Arrow list round-trips preserve element order
+            c = np.asarray([p[1] for p in pairs], np.float64)
             out[i] = float(np.dot(c, w[: len(c)]))
         return pa.table(
             {
@@ -582,43 +586,59 @@ def q_events_decayed_user_score(sf_dir: str):
     return per_user.map_batches(score, batch_format="pyarrow")
 
 
-def q_pages_template_tails(sf_dir: str):
-    """Template/boilerplate family detection by trailing-shingle document
-    frequency — the CCNet-style df-threshold signal, computed exactly: the
-    last 5-whitespace-token shingle of every page, counted across the
-    corpus; shingles shared by ≥ 10 pages are template tails (the injected
-    family suffixes, by construction). Parameterized templates (families
-    1/14 embed the page key) correctly evade the exact-tail detector with
-    df = 1 — the known blind spot of exact boilerplate matching, documented
-    rather than hidden.
+_TAIL_DF_THRESHOLD = 10  # tails on >= this many pages are template tails
 
-    Ray shape: map-side RE2 tail extraction (leftmost match of
-    ``(?:\\S+\\s+){0,4}\\S+$`` is exactly the last ≤5 tokens — a match
-    starting any earlier would need a 6th token to reach ``$``) → the
-    shuffle carries (tail, 1) rows only → `sorted_group_agg` count →
-    threshold filter. Page bodies never shuffle."""
+
+def _flagged_tails(tails_ds):
+    """(tail, n_pages) rows of tails shared by ≥ ``_TAIL_DF_THRESHOLD``
+    pages — the shared detection core of ``pages_template_tails`` (report)
+    and ``pages_boilerplate_scrub`` (apply). Input: any Dataset with a
+    ``tail`` column; the shuffle carries (tail, 1) rows only."""
     import numpy as np
 
     from vigil_ray.stages.corpus import sorted_group_agg
 
-    def tails(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.extract_regex(
-            batch.column("text"), _TAIL_RE
-        )
+    def tail_ones(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "tail": pc.struct_field(m, "tail"),
+                "tail": batch.column("tail"),
                 "one": pa.array(np.ones(batch.num_rows, np.int64)),
             }
         )
 
+    agg = sorted_group_agg(
+        tails_ds.map_batches(tail_ones, batch_format="pyarrow"),
+        ["tail"],
+        [("one", "sum", "n_pages")],
+    )
+    return agg.filter(expr=f"n_pages >= {_TAIL_DF_THRESHOLD}")
+
+
+def q_pages_template_tails(sf_dir: str):
+    """Template/boilerplate family detection by trailing-shingle document
+    frequency — the CCNet-style df-threshold signal, computed exactly: the
+    last 5-whitespace-token shingle of every page, counted across the
+    corpus; shingles shared by ≥ `_TAIL_DF_THRESHOLD` pages are template
+    tails (the injected family suffixes, by construction). Parameterized
+    templates (families 1/14 embed the page key) correctly evade the
+    exact-tail detector with df = 1 — the known blind spot of exact
+    boilerplate matching, documented rather than hidden.
+
+    Ray shape: map-side RE2 tail extraction (leftmost match of
+    ``(?:\\S+\\s+){0,4}\\S+$`` is exactly the last ≤5 tokens — a match
+    starting any earlier would need a 6th token to reach ``$``) →
+    :func:`_flagged_tails`. Page bodies never shuffle."""
+
+    def tails(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(batch.column("text"), _TAIL_RE)
+        return pa.table({"tail": pc.struct_field(m, "tail")})
+
     rows = _pages_ds(sf_dir).select_columns(["text"]).map_batches(
         tails, batch_format="pyarrow"
     )
-    agg = sorted_group_agg(rows, ["tail"], [("one", "sum", "n_pages")])
-    return agg.filter(expr="n_pages >= 10")
+    return _flagged_tails(rows)
 
 
 def q_pages_boilerplate_scrub(sf_dir: str):
@@ -630,9 +650,6 @@ def q_pages_boilerplate_scrub(sf_dir: str):
     space, floored at 0 for tail-only pages). The corpus stays map-side
     throughout — detection shuffles (tail, 1) rows only, the apply step is
     a zero-shuffle broadcast probe (``joins.broadcast_join``, size-gated)."""
-    import numpy as np
-
-    from vigil_ray.stages.corpus import sorted_group_agg
     from vigil_ray.stages.joins import broadcast_join
 
     def with_tails(batch: pa.Table) -> pa.Table:
@@ -653,22 +670,10 @@ def q_pages_boilerplate_scrub(sf_dir: str):
         )
 
     pages = _pages_ds(sf_dir).select_columns(["url", "text"])
-    tagged = pages.map_batches(with_tails, batch_format="pyarrow")
-
-    def tail_ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "tail": batch.column("tail"),
-                "one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    flagged = sorted_group_agg(
-        tagged.map_batches(tail_ones, batch_format="pyarrow"),
-        ["tail"],
-        [("one", "sum", "n_pages")],
-    ).filter(expr="n_pages >= 10")
-
+    # materialized: consumed twice (detection count + broadcast probe) —
+    # without pinning, the per-page regex pass runs twice
+    tagged = pages.map_batches(with_tails, batch_format="pyarrow").materialize()
+    flagged = _flagged_tails(tagged)
     joined = broadcast_join(tagged, flagged, key="tail", how="left_outer")
 
     def scrub(batch: pa.Table) -> pa.Table:
@@ -1212,6 +1217,25 @@ def _ann_recall_table(approx_ds, sf_dir: str, k: int = 10, bound: float = 0.7):
     )
 
 
+
+def _persisted_ivf(sf_dir: str):
+    """Build-or-reuse the persisted IVF index for ``sf_dir``; returns
+    ``(index_dir, n_cells, n_probe)``. The ``_v3`` cache-version suffix
+    lives ONLY here — bump it in one place when the index layout or kmeans
+    seed changes, so no query can silently serve a stale cached index."""
+    import os
+
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.ann import data_fingerprint, ivf_build
+
+    src = f"{sf_dir}/embeddings.parquet"
+    ds = read_table(src)
+    n_cells, n_probe = _ivf_params(ds.count())
+    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
+    ivf_build(ds, index_dir, n_cells=n_cells, fingerprint=data_fingerprint(src))
+    return index_dir, n_cells, n_probe
+
+
 def q_ann_ivf_top10(sf_dir: str):
     """IVF approximate top-k, in-flight (training-free) variant
     (``stages.ann.ivf_topk``): assignment recomputed per scan — the fallback
@@ -1236,20 +1260,9 @@ def q_ann_ivf_persisted_top10(sf_dir: str):
     rebuild), query reads only the probed cells' files. Approximate — the
     driver-visible check is the recall@10 bound (1-row table); recall +
     reuse + invalidation pinned in tests/test_ann.py."""
-    import os
+    from vigil_ray.stages.ann import ivf_query
 
-    from vigil_ray.sources.readers import read_table
-    from vigil_ray.stages.ann import data_fingerprint, ivf_build, ivf_query
-
-    src = f"{sf_dir}/embeddings.parquet"
-    ds = read_table(src)
-    n_cells, n_probe = _ivf_params(ds.count())
-    # version-keyed: bump when the index layout or kmeans seed changes so a
-    # cached build from an older code version can't serve stale results
-    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
-    ivf_build(
-        ds, index_dir, n_cells=n_cells, fingerprint=data_fingerprint(src)
-    )
+    index_dir, _n_cells, n_probe = _persisted_ivf(sf_dir)
     approx = ivf_query(
         index_dir, _ann_query_vec(sf_dir), k=10, n_probe=n_probe
     ).select_columns(["vec_id"])
@@ -1265,21 +1278,11 @@ def q_ann_recall_curve(sf_dir: str):
     recall(n_probe) ≥ recall(prev) and the last row additionally asserts
     the 0.7 bound — driver-visible exactness for an approximate operator
     (the `_ann_recall_table` pattern extended to the quality curve)."""
-    import os
-
     from vigil_ray.sources.readers import read_table
-    from vigil_ray.stages.ann import (
-        brute_force_topk,
-        data_fingerprint,
-        ivf_build,
-        ivf_query,
-    )
+    from vigil_ray.stages.ann import brute_force_topk, ivf_query
 
     src = f"{sf_dir}/embeddings.parquet"
-    ds = read_table(src)
-    n_cells, _ = _ivf_params(ds.count())
-    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
-    ivf_build(ds, index_dir, n_cells=n_cells, fingerprint=data_fingerprint(src))
+    index_dir, n_cells, _n_probe = _persisted_ivf(sf_dir)
     q = _ann_query_vec(sf_dir)
     exact_ids = set(
         brute_force_topk(
@@ -5139,7 +5142,7 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  words[greatest(1, array_length(words) - 4):array_length(words)], ' ') "
             "  AS tail FROM w) "
             "SELECT tail, CAST(count(*) AS BIGINT) AS n_pages FROM t "
-            "GROUP BY tail HAVING count(*) >= 10"
+            f"GROUP BY tail HAVING count(*) >= {_TAIL_DF_THRESHOLD}"
         ),
         "pages_boilerplate_scrub": (
             "WITH p AS (SELECT doc_id, (" + _PAGE_TEXT_EXPR + ") AS page_text "
@@ -5150,7 +5153,7 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "t AS (SELECT doc_id, page_text, array_to_string("
             "  words[greatest(1, array_length(words) - 4):array_length(words)], ' ') "
             "  AS tail FROM w), "
-            "f AS (SELECT tail FROM t GROUP BY tail HAVING count(*) >= 10) "
+            f"f AS (SELECT tail FROM t GROUP BY tail HAVING count(*) >= {_TAIL_DF_THRESHOLD}) "
             "SELECT " + _URL_EXPR + " AS url, f.tail IS NOT NULL AS is_template, "
             "CAST(CASE WHEN f.tail IS NOT NULL "
             "  THEN greatest(0, length(t.page_text) - length(t.tail) - 1) "

@@ -118,6 +118,10 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
         host = pc.replace_substring_regex(host, r"^www\.", "")
         rest = pc.replace_substring_regex(pc.struct_field(m, "rest"), r"/$", "")
         canon = pc.binary_join_element_wise("https://", host, rest, "")
+        # non-http(s) rows (schemeless, ftp, garbage) don't match the
+        # extractor — keep their stripped raw string as the key instead of
+        # collapsing them all into one null group downstream
+        canon = pc.if_else(pc.is_valid(canon), canon, u)
         return batch.append_column(out_col, canon)
 
     return ds.map_batches(_norm, batch_format="pyarrow")
