@@ -203,6 +203,7 @@ def run_bench() -> dict:
         "frontier_prep",
         "events_rolling_median",
         "split_leakage",
+        "docs_zorder",
     ]
     registry = query_registry()
     for name in secondary:

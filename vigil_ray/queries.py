@@ -717,6 +717,70 @@ def q_docs_url_dedup(sf_dir: str):
     return url_dedup(ds, url_col="url", id_col="row_id")
 
 
+def q_docs_zorder(sf_dir: str):
+    """Z-order (Morton) clustering — the lakehouse ``OPTIMIZE ZORDER``
+    layout operator: interleave the bits of (n_chars clipped to 16 bits,
+    16-bit md5 lang bucket) into one integer key so a range scan on EITHER
+    dimension touches few contiguous shards, then assign the global
+    clustered rank. Map-side magic-number bit spreading (integer-exact,
+    identical arithmetic in numpy and the SQL oracle) + the distributed
+    prefix-scan rank (`corpus.prefix_scan`, cost 1). Output:
+    (doc_id, z, z_rank)."""
+    import hashlib
+
+    import numpy as np
+
+    from vigil_ray.stages.corpus import prefix_scan
+
+    def _spread(x: "np.ndarray") -> "np.ndarray":
+        # 16 -> 32-bit bit spread (Morton magic numbers)
+        x = x.astype(np.int64) & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    memo: dict = {}
+
+    def zkey(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        for l in set(langs) - memo.keys():
+            memo[l] = int(hashlib.md5(l.encode()).hexdigest()[:4], 16)
+        a = np.minimum(
+            batch.column("n_chars").to_numpy(zero_copy_only=False), 65535
+        )
+        b = np.array([memo[l] for l in langs], np.int64)
+        z = _spread(a) + 2 * _spread(b)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "z": pa.array(z, pa.int64()),
+            }
+        )
+
+    keyed = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        zkey, batch_format="pyarrow"
+    )
+    scanned = prefix_scan(keyed, ["z", "doc_id"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rank = pc.add(
+            pc.cast(batch.column("cum_excl"), pa.int64()), pa.scalar(1, pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "z": batch.column("z"),
+                "z_rank": rank,
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
 def q_split_leakage(sf_dir: str):
     """Train/test split leakage audit (eval hygiene): distinct 5-gram
     counts per split and the cross-split overlap, over the SAME md5 hash
@@ -4148,6 +4212,7 @@ def queries() -> Dict[str, Callable]:
         "ann_recall_curve": q_ann_recall_curve,
         "events_rolling_median": q_events_rolling_median,
         "split_leakage": q_split_leakage,
+        "docs_zorder": q_docs_zorder,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -5175,6 +5240,24 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med_cents "
             "FROM events"
+        ),
+        "docs_zorder": (
+            # identical magic-number bit spread (multiplication = shift on
+            # disjoint masked bits; + = | on disjoint positions)
+            "WITH base AS (SELECT doc_id, least(n_chars, 65535) AS a, "
+            "  CAST('0x' || substr(md5(lang), 1, 4) AS BIGINT) AS b FROM documents), "
+            "sp AS (SELECT doc_id, "
+            "  ((a | (a * 256)) & 16711935) AS a1, "
+            "  ((b | (b * 256)) & 16711935) AS b1 FROM base), "
+            "sp2 AS (SELECT doc_id, ((a1 | (a1 * 16)) & 252645135) AS a2, "
+            "  ((b1 | (b1 * 16)) & 252645135) AS b2 FROM sp), "
+            "sp3 AS (SELECT doc_id, ((a2 | (a2 * 4)) & 858993459) AS a3, "
+            "  ((b2 | (b2 * 4)) & 858993459) AS b3 FROM sp2), "
+            "sp4 AS (SELECT doc_id, ((a3 | (a3 * 2)) & 1431655765) AS a4, "
+            "  ((b3 | (b3 * 2)) & 1431655765) AS b4 FROM sp3), "
+            "z AS (SELECT doc_id, CAST(a4 + 2 * b4 AS BIGINT) AS z FROM sp4) "
+            "SELECT doc_id, z, CAST(row_number() OVER (ORDER BY z, doc_id) "
+            "AS BIGINT) AS z_rank FROM z"
         ),
         "split_leakage": (
             # same md5-bucket split as docs_hash_split; short docs (<5
