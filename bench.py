@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "events_rolling_median",
         "split_leakage",
         "docs_zorder",
+        "dedup_prefix_filter_pairs",
     ]
     registry = query_registry()
     for name in secondary:

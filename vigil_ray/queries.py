@@ -945,6 +945,23 @@ def q_dedup_components(sf_dir: str):
     return comp.rename_columns({"node": "vid"})
 
 
+def q_dedup_prefix_filter_pairs(sf_dir: str):
+    """Exact 3-gram-Jaccard ≥ 0.7 pairs via df-ordered PREFIX FILTERING
+    (PPJoin-family) — a structurally different exact algorithm from the
+    LSH detectors, with a no-false-negative GUARANTEE (the prefix principle
+    is a theorem; LSH recall is probabilistic) — see
+    :func:`vigil_ray.stages.dedup.prefix_filter_pairs`. Checked against the
+    true-Jaccard SQL self-join. 3-gram shingles keep per-doc rarest tokens
+    genuinely rare on this small-vocab synthetic corpus (2-gram df is so
+    high the prefix buckets overflow max_bucket and the truncation warning
+    fires — measured, which is exactly the degenerate-key valve working)."""
+    from vigil_ray.stages.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _variants_ds(sf_dir), threshold=0.7, ngram=3
+    )
+
+
 def q_dedup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster size distribution — THE dedup report a corpus run
     ships: how many clusters of each size the near-dup graph contains
@@ -4213,6 +4230,7 @@ def queries() -> Dict[str, Callable]:
         "events_rolling_median": q_events_rolling_median,
         "split_leakage": q_split_leakage,
         "docs_zorder": q_docs_zorder,
+        "dedup_prefix_filter_pairs": q_dedup_prefix_filter_pairs,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4393,6 +4411,7 @@ JOIN variants da ON da.vid = p.a
 JOIN variants db ON db.vid = p.b
 """,
         "dedup_ngram_pairs": _jaccard_pairs_sql(2, 0.7),
+        "dedup_prefix_filter_pairs": _jaccard_pairs_sql(3, 0.7),
         "dedup_components": f"""
 WITH RECURSIVE {_jaccard_pairs_ctes(3, 0.5)},
 {_COMPONENTS_CTES.strip().rstrip()}

@@ -798,3 +798,119 @@ def edit_distance_pairs(
         )
 
     return with_texts.map_batches(score, batch_format="pyarrow")
+
+
+def prefix_filter_pairs(
+    ds,
+    id_col: str = "vid",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    ngram: int = 2,
+    max_bucket: int = 200,
+):
+    """EXACT set-similarity self-join (word-``ngram`` Jaccard ≥ threshold)
+    via df-ordered prefix filtering — the PPJoin-family candidate generator
+    (Chaudhuri et al. 2006; Xiao et al. 2008), the guaranteed-no-false-
+    negative complement to MinHash-LSH: under any global token order, two
+    sets with overlap ≥ α must both contain the globally-SMALLEST shared
+    token within their first ``l − α + 1`` tokens (α = ⌈t·l⌉, since
+    J ≥ t ⟹ overlap ≥ t·max(|x|,|y|)); indexing only those prefixes, with
+    the order = increasing document frequency, puts only the RAREST tokens
+    in the index so buckets stay tiny.
+
+    Ray shape — every step an existing primitive, nothing corpus-sized
+    collected or broadcast: per-doc distinct shingles explode with their
+    set size ``l`` → shingle df via `corpus.sorted_group_agg` → df attaches
+    back via `sortmerge.sorted_lookup_join` (distributed, no hash-shuffle
+    machinery) → per-doc rank in (df, shingle) order via
+    `corpus.grouped_prefix_scan` → prefix filter (integer-exact
+    α via fractions) → candidate pairs via `sorted_bucket_pairs` → exact
+    Jaccard verify on texts re-attached by the Bloom-semi-filtered lookup.
+    """
+    from fractions import Fraction
+
+    from vigil_ray.kernel.textstats import word_ngrams
+    from vigil_ray.stages.corpus import grouped_prefix_scan, sorted_group_agg
+    from vigil_ray.stages.sortmerge import sorted_lookup_join
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vids, gs, ls = [], [], []
+        for vid, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            grams = set(word_ngrams(t or "", ngram))
+            for g in grams:
+                vids.append(vid)
+                gs.append(g)
+                ls.append(len(grams))
+        return pa.table(
+            {
+                "vid": pa.array(vids, pa.int64()),
+                "g": pa.array(gs, pa.string()),
+                "l": pa.array(ls, pa.int64()),
+                "one": pa.array(np.ones(len(vids), np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def g_ones(batch: pa.Table) -> pa.Table:
+        return batch.select(["g", "one"])
+
+    df = sorted_group_agg(
+        rows.map_batches(g_ones, batch_format="pyarrow"),
+        ["g"],
+        [("one", "sum", "df")],
+    )
+    withdf = sorted_lookup_join(
+        rows.select_columns(["vid", "g", "l"]), df, ["g"]
+    )
+    ranked = grouped_prefix_scan(withdf, ["vid"], ["df", "g"])
+
+    def prefix_only(batch: pa.Table) -> pa.Table:
+        l = batch.column("l").to_numpy(zero_copy_only=False)
+        pos = batch.column("cum_excl").to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = (num * l + den - 1) // den  # ceil(t*l), integer-exact
+        p = l - alpha + 1
+        mask = pos < p
+        return pa.table(
+            {
+                "g": batch.column("g").filter(pa.array(mask)),
+                "vid": batch.column("vid").filter(pa.array(mask)),
+            }
+        )
+
+    pref = ranked.map_batches(prefix_only, batch_format="pyarrow")
+
+    def all_pairs(members: list) -> list:
+        out = []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out.append((members[i][0], members[j][0]))
+        return out
+
+    cand = sorted_bucket_pairs(
+        pref, ["g"], ["vid"], all_pairs, max_bucket, "prefix_filter_pairs"
+    )
+    cand = _distinct_pairs(cand)
+    attached = _attach_pair_texts(cand, ds, id_col, text_col)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b = [], []
+        for a, b, ta, tb in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        ):
+            if jaccard(ta or "", tb or "", ngram) >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table(
+            {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
+        )
+
+    return attached.map_batches(verify, batch_format="pyarrow")
