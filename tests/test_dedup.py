@@ -350,3 +350,31 @@ class TestBatchEditDistances:
         assert list(
             batch_edit_distances(["", "abc", ""], ["xy", "", ""], max_distance=1)
         ) == [2, 2, 0]
+
+
+class TestBoundaryRunTruncationAccounting:
+    def test_precap_drops_are_counted(self, ray_session, caplog):
+        """A degenerate bucket that IS a block's only run gets pre-capped
+        inside the block before reaching the driver; the warning must still
+        report the TRUE drop count (run_size ships alongside the capped
+        members)."""
+        import logging
+
+        import ray.data as rd
+
+        from vigil_ray.stages.dedup import all_member_pairs, sorted_bucket_pairs
+
+        # one bucket of 50 members split across 5 blocks; cap 10 → 40 dropped
+        rows = rd.from_items(
+            [{"k": 1, "vid": i} for i in range(50)]
+        ).repartition(5)
+        with caplog.at_level(logging.WARNING, logger="vigil_ray.dedup"):
+            out = sorted_bucket_pairs(
+                rows, ["k"], ["vid"], all_member_pairs, 10, "test_stage"
+            ).to_pandas()
+        # kept = 10 smallest ids → C(10,2) pairs
+        assert len(out) == 45
+        assert any(
+            "test_stage" in r.message and "40 member(s) dropped" in r.message
+            for r in caplog.records
+        ), [r.message for r in caplog.records]

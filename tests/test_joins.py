@@ -185,3 +185,22 @@ class TestBroadcastJoin:
         schemaless = right.filter(lambda r: r["rk"] > 1000)
         with pytest.raises(ValueError, match="no schema-bearing blocks"):
             broadcast_join(left, schemaless, key="k", right_key="rk")
+
+
+def test_skew_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from vigil_ray.stages.joins import skew_join
+
+    # hot string key 'pt' dominates the fact side; dimension is tiny
+    left = rd.from_items(
+        [{"lang": "pt" if i % 4 else "en", "v": i} for i in range(200)]
+    ).repartition(4)
+    right = rd.from_items(
+        [{"code": "pt", "name": "portuguese"}, {"code": "en", "name": "english"},
+         {"code": "es", "name": "spanish"}]
+    )
+    out = skew_join(left, right, key="lang", right_key="code", top_k=1).to_pandas()
+    assert len(out) == 200
+    assert set(out["name"]) == {"portuguese", "english"}
+    assert (out.loc[out["lang"] == "pt", "name"] == "portuguese").all()

@@ -71,7 +71,7 @@ def chunk_documents(
         for vid, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
-            words = text.split()
+            words = (text or "").split()
             n = len(words)
             for ci, s in enumerate(range(0, n, stride)):
                 piece = words[s : s + chunk_words]
@@ -431,10 +431,23 @@ def sorted_group_agg(rows_ds, key_cols: Sequence[str], specs: Sequence[tuple]):
 
     schema = ds_sorted.schema()
     if schema is None or not merged:
+        # preserve the REAL column types on the empty path: downstream
+        # unions/sorts against string-keyed tables break on a fabricated
+        # int64 schema (sorted_group_min keeps the true schema the same way)
+        if schema is not None:
+            types = {name: t for name, t in zip(schema.names, schema.types)}
+            key_t = {c: types[c] for c in key_cols}
+            out_t = {
+                out: (pa.int64() if op == "sum" else types[c])
+                for c, op, out in specs
+            }
+        else:
+            key_t = {c: pa.int64() for c in key_cols}
+            out_t = {out: pa.int64() for _, _, out in specs}
         return rd.from_arrow(
             pa.table(
-                {c: pa.array([], pa.int64()) for c in key_cols}
-                | {out: pa.array([], pa.int64()) for _, _, out in specs}
+                {c: pa.array([], t) for c, t in key_t.items()}
+                | {o: pa.array([], t) for o, t in out_t.items()}
             )
         )
     types = {name: t for name, t in zip(schema.names, schema.types)}
@@ -1745,15 +1758,10 @@ def chunk_dup_pairs(
 
     rows = chunks.map_batches(fps, batch_format="pyarrow")
 
-    def all_pairs(members: list) -> list:
-        out = []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                out.append((members[i][0], members[j][0]))
-        return out
+    from vigil_ray.stages.dedup import all_member_pairs
 
     cand = sorted_bucket_pairs(
-        rows, ["fp"], [id_col], all_pairs, max_bucket, "chunk_dup_pairs"
+        rows, ["fp"], [id_col], all_member_pairs, max_bucket, "chunk_dup_pairs"
     )
     return _distinct_pairs(cand)
 

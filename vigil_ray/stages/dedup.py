@@ -134,6 +134,17 @@ def truncate_bucket(members: list, max_bucket: int):
     return members[:max_bucket], len(members) - max_bucket
 
 
+def all_member_pairs(members: list) -> list:
+    """All unordered (a, b) id pairs of one bucket's sorted member tuples —
+    the shared ``pair_fn`` of the LSH / prefix-filter / chunk-dup bucket
+    pair generators (id = first element of each member tuple)."""
+    out = []
+    for i in range(len(members)):
+        for j in range(i + 1, len(members)):
+            out.append((members[i][0], members[j][0]))
+    return out
+
+
 def _warn_truncated(stage: str, n_buckets: int, n_dropped: int) -> None:
     """One aggregated warning per exploded batch (worker-side Ray log +
     stderr): a skewed corpus that overflows ``max_bucket`` is loud, not
@@ -193,20 +204,25 @@ def sorted_bucket_pairs(rows_ds, key_cols, member_cols, pair_fn, max_bucket, sta
     def boundary_runs(batch: pa.Table) -> pa.Table:
         empty = {c: pa.array([], batch.column(c).type) for c in key_cols}
         empty["members"] = pa.array([], pa.list_(pa.list_(pa.int64())))
+        empty["run_size"] = pa.array([], pa.int64())
         if batch.num_rows == 0:
             return pa.table(empty)
         runs = _run_bounds(batch)
         picks = [runs[0]] if len(runs) == 1 else [runs[0], runs[-1]]
         cols = {c: [] for c in key_cols}
-        members = []
+        members, sizes = [], []
         for s, e in picks:
             for c in key_cols:
                 cols[c].append(batch.column(c)[s].as_py())
             # cap per block: global top-max_bucket of per-block top-max_bucket
-            # equals the global top-max_bucket
+            # equals the global top-max_bucket. The PRE-cap size ships too so
+            # the driver's drop count stays true (a block-boundary run capped
+            # here must not be invisible to the truncation warning).
             members.append(sorted(_members(batch, s, e))[:max_bucket])
+            sizes.append(e - s)
         out = {c: pa.array(cols[c], batch.column(c).type) for c in key_cols}
         out["members"] = pa.array(members, pa.list_(pa.list_(pa.int64())))
+        out["run_size"] = pa.array(sizes, pa.int64())
         return pa.table(out)
 
     deferred = ds_sorted.map_batches(
@@ -214,14 +230,16 @@ def sorted_bucket_pairs(rows_ds, key_cols, member_cols, pair_fn, max_bucket, sta
     ).take_all()
 
     merged: dict = {}
+    totals: dict = {}
     for r in deferred:
-        merged.setdefault(tuple(r[c] for c in key_cols), []).extend(
-            tuple(m) for m in r["members"]
-        )
+        key = tuple(r[c] for c in key_cols)
+        merged.setdefault(key, []).extend(tuple(m) for m in r["members"])
+        totals[key] = totals.get(key, 0) + int(r["run_size"])
     da, db = [], []
     n_trunc = n_dropped = 0
-    for members in merged.values():
-        rows, dropped = truncate_bucket(members, max_bucket)
+    for key, members in merged.items():
+        rows, _ = truncate_bucket(members, max_bucket)
+        dropped = totals[key] - len(rows)  # true drop incl. block pre-caps
         if dropped:
             n_trunc += 1
             n_dropped += dropped
@@ -280,8 +298,6 @@ def minhash_lsh_pairs(
     with p=(1-t⁴)³². Verification is exact, so output precision is always 1;
     at J ≥ 0.9 (any near-duplicate worth the name) p ≈ 1.5e-15.
     """
-    import ray
-    import pandas as pd
 
     def to_bands(batch: pa.Table) -> pa.Table:
         bids, bhashes, vids = [], [], []
@@ -306,18 +322,12 @@ def minhash_lsh_pairs(
     # pairs via SORT + adjacency (sorted_bucket_pairs) — replaces the
     # collect-list groupby, whose ~25 µs/group machinery dominated at 156k
     # buckets (6.8 s → sub-second)
-    def all_pairs(members: list) -> list:
-        out = []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                out.append((members[i][0], members[j][0]))
-        return out
 
     cand = sorted_bucket_pairs(
         bands,
         ["band_id", "band_hash"],
         ["vid"],
-        all_pairs,
+        all_member_pairs,
         max_bucket,
         "minhash_lsh_pairs",
     )
@@ -370,7 +380,14 @@ def _distinct_pairs(cand):
     )
 
 
-def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int = 8):
+def _attach_pair_texts(
+    cand,
+    ds,
+    id_col: str,
+    text_col: str,
+    num_partitions: int = 8,
+    m_bits: int = 1 << 20,
+):
     """Attach both documents' text to candidate (a, b) pairs.
 
     Two-stage semi-join, neither corpus-scale shuffle nor driver collection:
@@ -388,7 +405,7 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int
        false negatives by construction).
 
     Scale ledger: m_bits must track the candidate-id count (~10 bits/key
-    for ~1% FP). Past ~10⁹ candidates the bitmap outgrows broadcast — set
+    for ~1% FP). Past ~10⁹ candidates the bitmap outgrows broadcast — pass
     ``m_bits=0`` to skip the filter and let the sort-merge join carry the
     full corpus (the always-correct fallback)."""
 
@@ -396,7 +413,6 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int
     from vigil_ray.stages.sortmerge import sorted_lookup_join
 
     corpus = ds.select_columns([id_col, text_col])
-    m_bits = 1 << 20
 
     def explode_ids(batch: pa.Table) -> pa.Table:
         both = pa.concat_tables(
@@ -408,21 +424,28 @@ def _attach_pair_texts(cand, ds, id_col: str, text_col: str, num_partitions: int
         return both
 
     cand = cand.materialize()  # consumed twice: bloom build + both joins
-    import ray
 
-    bref = ray.put(
-        vbloom_build(
-            cand.map_batches(explode_ids, batch_format="pyarrow"), "id", m_bits
+    if m_bits:
+        import ray
+
+        bref = ray.put(
+            vbloom_build(
+                cand.map_batches(explode_ids, batch_format="pyarrow"), "id", m_bits
+            )
         )
-    )
 
-    def bloom_keep(batch: pa.Table) -> pa.Table:
-        if not batch.num_rows:
-            return batch
-        keep = vbloom_mask(batch.column(id_col), ray.get(bref), m_bits)
-        return batch.filter(pa.array(keep, pa.bool_()))
+        def bloom_keep(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            keep = vbloom_mask(batch.column(id_col), ray.get(bref), m_bits)
+            return batch.filter(pa.array(keep, pa.bool_()))
 
-    slim = corpus.map_batches(bloom_keep, batch_format="pyarrow").materialize()
+        slim = corpus.map_batches(bloom_keep, batch_format="pyarrow").materialize()
+    else:
+        # m_bits=0: skip the bloom prefilter and let the sort-merge joins
+        # carry the full corpus — the always-correct fallback when the
+        # candidate set outgrows a broadcastable bitmap
+        slim = corpus
 
     def _as_lookup(key: str, val: str):
         def rename(batch: pa.Table) -> pa.Table:
@@ -449,8 +472,6 @@ def simhash_pairs(
     ``max_bucket`` guards true degenerates only (this op is EXACT-oracle
     checked, so the cap must exceed any legitimate 16-bit-chunk bucket at
     test scale — sf0.1 measures max 398; truncation warns loudly)."""
-    import ray
-    import pandas as pd
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         cids, chashes, vids, sigs = [], [], [], []
@@ -885,15 +906,9 @@ def prefix_filter_pairs(
 
     pref = ranked.map_batches(prefix_only, batch_format="pyarrow")
 
-    def all_pairs(members: list) -> list:
-        out = []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                out.append((members[i][0], members[j][0]))
-        return out
 
     cand = sorted_bucket_pairs(
-        pref, ["g"], ["vid"], all_pairs, max_bucket, "prefix_filter_pairs"
+        pref, ["g"], ["vid"], all_member_pairs, max_bucket, "prefix_filter_pairs"
     )
     cand = _distinct_pairs(cand)
     attached = _attach_pair_texts(cand, ds, id_col, text_col)

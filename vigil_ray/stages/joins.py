@@ -51,19 +51,25 @@ def skew_join(
     from vigil_ray.stages.blocks import safe_join
     from vigil_ray.stages.corpus import sorted_group_sum
 
+    # consumed three times (hot-key sample, hot map-join, cold remainder) —
+    # pin once so the upstream lineage doesn't re-execute per consumer (the
+    # _attach_pair_texts / connected_components precedent)
+    left = left.materialize()
+
     # --- 1. hot-key detection on a deterministic row sample ---------------
     def sampled_keys(batch: pa.Table) -> pa.Table:
-        ks = batch.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        col = batch.column(key).combine_chunks()
         # cheap deterministic row decimation: md5 of (key, row index within
         # batch) would not be stable across block layouts — sample on the
         # key value itself plus a row counter modulo; for hot-key DETECTION
-        # sampling rows by position is fine (any subsample sees a hot key)
-        pos = np.arange(len(ks))
-        keep = pos % sample_mod == 0
+        # sampling rows by position is fine (any subsample sees a hot key).
+        # The key keeps its NATIVE type (int, string, ...) end to end.
+        keep = np.flatnonzero(np.arange(len(col)) % sample_mod == 0)
+        kept = col.take(pa.array(keep, pa.int64()))
         return pa.table(
             {
-                key: pa.array(ks[keep], pa.int64()),
-                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                key: kept,
+                "one": pa.array(np.ones(len(kept), dtype=np.int64)),
             }
         )
 
@@ -73,31 +79,32 @@ def skew_join(
         ["one"],
     )
     hot_rows = counts.sort("one", descending=True).limit(top_k).take_all()
-    hot = {int(r[key]) for r in hot_rows}
+    hot_list = [r[key] for r in hot_rows]  # native-typed hot keys
+
+    def _hot_set(col: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        return pc.is_in(col, value_set=pa.array(hot_list, type=col.type))
 
     # --- 2. broadcast the hot slice of the dimension ----------------------
     right_cols = [c for c in right.schema().names if c != right_key]
 
     def is_hot_right(batch: pa.Table) -> pa.Table:
-        ks = batch.column(right_key).combine_chunks().to_numpy(zero_copy_only=False)
-        mask = np.isin(ks, np.fromiter(hot, dtype=np.int64, count=len(hot)))
-        return batch.filter(pa.array(mask))
+        return batch.filter(_hot_set(batch.column(right_key).combine_chunks()))
 
     hot_dim_rows = right.map_batches(is_hot_right, batch_format="pyarrow").take_all()
-    hot_dim = {int(r[right_key]): tuple(r[c] for c in right_cols) for r in hot_dim_rows}
+    hot_dim = {r[right_key]: tuple(r[c] for c in right_cols) for r in hot_dim_rows}
     hot_ref = ray.put(hot_dim)
     right_types = {
         n: t for n, t in zip(right.schema().names, right.schema().types)
     }
 
     # --- 3a. map-side join for the hot fact rows --------------------------
-    def hot_mask(batch: pa.Table) -> np.ndarray:
-        ks = batch.column(key).combine_chunks().to_numpy(zero_copy_only=False)
-        return np.isin(ks, np.fromiter(hot, dtype=np.int64, count=len(hot)))
+    def hot_mask(batch: pa.Table) -> pa.Array:
+        return _hot_set(batch.column(key).combine_chunks())
 
     def join_hot(batch: pa.Table) -> pa.Table:
-        mask = hot_mask(batch)
-        sub = batch.filter(pa.array(mask))
+        sub = batch.filter(hot_mask(batch))
         dim = ray.get(hot_ref)
         ks = sub.column(key).to_pylist()
         found = [k in dim for k in ks]
@@ -114,12 +121,16 @@ def skew_join(
 
     # --- 3b. ordinary hash join for the cold remainder --------------------
     def take_cold(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(~hot_mask(batch)))
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(hot_mask(batch)))
 
     def cold_right(batch: pa.Table) -> pa.Table:
-        ks = batch.column(right_key).combine_chunks().to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ks, np.fromiter(hot, dtype=np.int64, count=len(hot)))
-        return batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.invert(_hot_set(batch.column(right_key).combine_chunks()))
+        )
 
     cold_joined = safe_join(
         left.map_batches(take_cold, batch_format="pyarrow"),

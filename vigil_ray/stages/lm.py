@@ -33,17 +33,6 @@ import numpy as np
 import pyarrow as pa
 
 
-def _join_partitions() -> int:
-    """Hash-join partition count sized to the session: each join operator
-    runs a pool of shuffle-aggregator actors, and TWO chained joins with
-    partition pools that each want every CPU deadlock a small session the
-    same way two fixed actor pools do (CLAUDE.md; observed: 2×16-partition
-    joins hang at num_cpus=4). Half the CPUs per join lets both pipeline."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus // 2)
-
 
 def _doc_bigram_rows(ds, id_col: str, text_col: str):
     """Per-document bigram counts: one row per (doc, w1, w2) with its
