@@ -238,3 +238,50 @@ class TestRollingMedianProperties:
             .reset_index(level=0, drop=True)
         )
         pd.testing.assert_frame_equal(out[["k", "t", "v", "m"]], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWebtextKernelProperties:
+    @given(
+        scheme=st.sampled_from(["https://", "http://", "HTTP://", ""]),
+        www=st.sampled_from(["", "www.", "WWW."]),
+        host=st.sampled_from(["example.test", "Sub1.DOM3.test", "a.b.c.test"]),
+        path=st.sampled_from(["", "/", "/p/1", "/p/1/", "/UPPER/Case"]),
+        query=st.sampled_from(["", "?page=2", "?utm_source=x", "?page=2&utm_a=1"]),
+        frag=st.sampled_from(["", "#f", "#frag/with?marks"]),
+    )
+    @settings(**_SETTINGS)
+    def test_canonicalize_idempotent(self, scheme, www, host, path, query, frag):
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import canonicalize_urls
+
+        url = f"{scheme}{www}{host}{path}{query}{frag}"
+        once = (
+            canonicalize_urls(rd.from_items([{"url": url}]))
+            .to_pandas()["canonical_url"][0]
+        )
+        twice = (
+            canonicalize_urls(rd.from_items([{"url": once}]))
+            .to_pandas()["canonical_url"][0]
+        )
+        assert once == twice, (url, once, twice)
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.text(alphabet="ab ", max_size=25),
+                      st.text(alphabet="ab ", max_size=25)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_edit_distance_symmetry_and_identity(self, rows):
+        from vigil_ray.stages.dedup import batch_edit_distances
+
+        ta = [r[0] for r in rows]
+        tb = [r[1] for r in rows]
+        fwd = batch_edit_distances(ta, tb)
+        rev = batch_edit_distances(tb, ta)
+        assert (fwd == rev).all()
+        assert (batch_edit_distances(ta, ta) == 0).all()
