@@ -259,3 +259,16 @@ class TestCandidatePrefilter:
         assert res_fused == res_layered
         assert res_layered["contem_pii"]  # nome via the portador template
         assert scrub_fused == scrub_text(normalize_text(doc))
+
+
+class TestHtmlLineBreaks:
+    def test_void_br_and_cells_separate_words(self):
+        from vigil_ray.kernel.html import extract_text, wrap_text
+
+        assert extract_text(b"line1<br>line2") == "line1\nline2"
+        assert extract_text(b"line1<br/>line2") == "line1\nline2"
+        assert extract_text(b"line1<BR />line2") == "line1\nline2"
+        assert extract_text(b"<td>ana</td><td>silva</td>") == "ana\nsilva"
+        # the synthesized-corpus round-trip invariant is untouched
+        t = "Atenção. Meu CPF é 123.456.789-00 & <escapes>."
+        assert extract_text(wrap_text(t)) == t

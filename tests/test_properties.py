@@ -116,3 +116,54 @@ def test_card_detection_only_luhn_valid(text):
         digits = _DIGITS_ONLY.sub("", d.valor)
         assert 13 <= len(digits) <= 19 and luhn_valid(digits)
         assert text[d.start : d.end] == d.valor
+
+
+# adversarial PII-shaped fragments: random unicode almost never produces the
+# keyword-anchored templates (RG--, name-next-to-CPF, overlapping spans), so
+# compose texts from the anchors the regex banks key on
+_PII_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "RG", "rg", "CPF", "portador", "nome", "Maria Silva",
+            "123.456.789-00", "12 3456-7890", "3456-7890", "12.345.678-9",
+            "--", "..", ":", " ", ", ", "x", "(61)", "99999-8888",
+            "user@example.test", "SSN", "123-45-6789",
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_PII_FRAGMENTS)
+def test_prefilter_conservative_on_pii_shaped(text):
+    clean = normalize_text(text)
+    if clean and not could_have_pii(clean):
+        res = detect_pii(text)
+        assert res["contem_pii"] is False, text
+
+
+@settings(max_examples=300, deadline=None)
+@given(_PII_FRAGMENTS)
+def test_analyze_equals_layered_on_pii_shaped(text):
+    res, scrub = analyze_document(text)
+    assert res == detect_pii(text), text
+    assert scrub == scrub_text(normalize_text(text)), text
+
+
+def test_partial_overlap_never_leaks():
+    """A span partially overlapping a kept one must extend the redacted
+    region — its non-overlapped tail is detected PII and may not survive
+    scrubbing (regression: 'RG 12 3456-7890' once left '3456-7890')."""
+    res, scrub = analyze_document("RG 12 3456-7890")
+    assert "telefone" in res["tipos_detectados"]
+    assert "3456" not in scrub and "7890" not in scrub, scrub
+
+
+def test_digit_free_rg_keeps_fused_path_equal():
+    """RX_RG matches dots/hyphens alone; the prefilter must anchor on the
+    keyword so the fused path cannot short-circuit (regression: 'RG--')."""
+    res, scrub = analyze_document("RG--")
+    assert res == detect_pii("RG--")
+    assert res["contem_pii"] is True and scrub == "[RG]"

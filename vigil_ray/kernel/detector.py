@@ -43,7 +43,10 @@ _CANDIDATE = _re.compile(
     # the '(name)[,\s]+(?:CPF|portador)' template can fire on a digit-free
     # doc ('Maria Silva, portador'), so its anchors must be candidates too
     # (mirrors names.py _ANY_CONTEXT)
-    r"|cpf|portador",
+    r"|cpf|portador"
+    # RX_RG's value class [\d.-]+ is satisfiable by dots/hyphens alone
+    # ('RG--'), so the digit test doesn't cover it — anchor on the keyword
+    r"|\brg\b",
     _re.IGNORECASE,
 )
 
@@ -134,17 +137,21 @@ def scrub_text(
         spans.extend(find_names_heuristic(clean_text))
     if not spans:
         return clean_text
-    # sort by start asc, then longer span first; drop spans nested in a kept one
+    # sort by start asc, then longer span first; nested spans drop, spans
+    # that PARTIALLY overlap a kept one EXTEND its redacted region (the
+    # first-reported type names the token) — a partial overlap must never
+    # leave its non-overlapped tail unredacted (it is detected PII)
     spans = sorted(spans, key=lambda d: (d.start, -d.end))
-    kept: List[Detection] = []
-    last_end = -1
+    regions: List[List] = []  # [start, end, tipo]
     for d in spans:
-        if d.start >= last_end:
-            kept.append(d)
-            last_end = d.end
+        if regions and d.start < regions[-1][1]:
+            if d.end > regions[-1][1]:
+                regions[-1][1] = d.end
+            continue
+        regions.append([d.start, d.end, d.tipo])
     out = clean_text
-    for d in reversed(kept):
-        out = out[: d.start] + token_template.format(tipo=d.tipo.upper()) + out[d.end :]
+    for start, end, tipo in reversed(regions):
+        out = out[:start] + token_template.format(tipo=tipo.upper()) + out[end:]
     return out
 
 

@@ -27,8 +27,14 @@ def extract_text(html_bytes: bytes) -> str:
         return ""
     raw = html_bytes.decode("utf-8", errors="replace")
     raw = _SCRIPT_STYLE.sub(" ", raw)
-    # block-level closers become newlines so paragraphs stay separated
-    raw = re.sub(r"</(p|div|br|li|h[1-6]|tr)\s*>", "\n", raw, flags=re.IGNORECASE)
+    # void/self-closing line breaks: <br> virtually never appears as </br>
+    # in real crawl HTML — without this, 'line1<br>line2' would concatenate
+    # to 'line1line2' and corrupt tokenization / PII digit runs downstream
+    raw = re.sub(r"<br\s*/?\s*>", "\n", raw, flags=re.IGNORECASE)
+    # block-level closers become newlines so paragraphs/cells stay separated
+    raw = re.sub(
+        r"</(p|div|br|li|h[1-6]|tr|td|th)\s*>", "\n", raw, flags=re.IGNORECASE
+    )
     raw = _TAG.sub("", raw)
     raw = _htmlmod.unescape(raw)
     lines = [ln.strip() for ln in raw.split("\n")]

@@ -205,7 +205,13 @@ class CharLM:
         for (r, ids), codes in zip(seqs, gram_codes):
             n = len(codes)
             chunk = per_gram[pos : pos + n]
-            out[r] = round(math.exp(-float(chunk.sum()) / n), 4)
+            # sequential left-to-right accumulation, SAME float-add order as
+            # _score_scalar — numpy's pairwise sum could differ in the last
+            # ulp and flip a round(...,4) boundary between the two paths
+            s = 0.0
+            for v in chunk:
+                s += float(v)
+            out[r] = round(math.exp(-s / n), 4)
             pos += n
         return out
 

@@ -23,7 +23,6 @@ from vigil_ray.config import QualityConfig
 
 _WS = re.compile(r"\s+")
 _ALPHA = re.compile(r"[^\W\d_]", re.UNICODE)
-_SYMBOL = re.compile(r"#|\.\.\.|…")
 
 # C4-style minimal English/Portuguese stopword probe
 _STOP_PROBE = frozenset(
@@ -71,8 +70,8 @@ def quality_features(text: str) -> Dict[str, Any]:
         "symbol_to_word_ratio": round(n_symbols / n_words, 6) if n_words else 0.0,
         "alpha_word_frac": round(n_alpha_words / n_words, 6) if n_words else 0.0,
         "dup_line_frac": round(dup_line_frac, 6),
-        "top2gram_frac": _top_ngram_char_frac(lowered, 2, word_lens, total_word_chars),
-        "top3gram_frac": _top_ngram_char_frac(lowered, 3, word_lens, total_word_chars),
+        "top2gram_frac": _top_ngram_char_frac(lowered, 2, total_word_chars),
+        "top3gram_frac": _top_ngram_char_frac(lowered, 3, total_word_chars),
         "dup5gram_frac": _dup_ngram_char_frac(lowered, 5, word_lens, total_word_chars),
         "has_stopword": not _STOP_PROBE.isdisjoint(lowered),
     }
@@ -83,9 +82,7 @@ def _ngrams(words: List[str], n: int) -> List[Tuple[str, ...]]:
     return list(zip(*(words[i:] for i in range(n))))
 
 
-def _top_ngram_char_frac(
-    words: List[str], n: int, word_lens=None, total_chars=None
-) -> float:
+def _top_ngram_char_frac(words: List[str], n: int, total_chars=None) -> float:
     """Chars covered by the single most common word n-gram / total word chars
     (Gopher's "fraction of characters in most common n-gram")."""
     if len(words) < n:

@@ -202,6 +202,17 @@ def review_document(
     if not contem_pii or not detalhes:
         return []
     rows: List[Dict[str, Any]] = []
+    # the context banks scan TEXT only — hoist the six full-document regex
+    # sweeps out of the per-detection loop (k nome detections would pay the
+    # ~40-regex cascade k times in the flat-map hot path); computed lazily
+    # so digit-only documents never pay them at all
+    bank_hit: Dict[str, bool] = {}
+
+    def _hit(ctx: str) -> bool:
+        if ctx not in bank_hit:
+            bank_hit[ctx] = any(p.search(text) for p in _CONTEXT_BANKS[ctx])
+        return bank_hit[ctx]
+
     for tipo, valor, score in detalhes:
         reasons: List[Tuple[str, str]] = []
         if score < cfg.low_confidence_threshold:
@@ -210,13 +221,11 @@ def review_document(
             reasons.append(("score_medio", "baixa"))
         if tipo == "nome":
             if cfg.check_artistic_context:
-                if any(p.search(text) for p in _CONTEXT_BANKS["contexto_artistico"]):
+                if _hit("contexto_artistico"):
                     reasons.append(("contexto_artistico", "alta"))
                 if _is_known_artist(valor):
                     reasons.append(("contexto_artistico", "alta"))
-            if cfg.check_academic_context and any(
-                p.search(text) for p in _CONTEXT_BANKS["contexto_academico"]
-            ):
+            if cfg.check_academic_context and _hit("contexto_academico"):
                 reasons.append(("contexto_academico", "media"))
             for ctx in (
                 "contexto_jornalistico",
@@ -224,7 +233,7 @@ def review_document(
                 "contexto_juridico",
                 "contexto_autoria",
             ):
-                if any(p.search(text) for p in _CONTEXT_BANKS[ctx]):
+                if _hit(ctx):
                     reasons.append((ctx, _CONTEXT_PRIORITY[ctx]))
         for motivo, prioridade in reasons:
             rows.append(

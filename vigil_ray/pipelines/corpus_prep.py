@@ -85,18 +85,24 @@ def prepare_corpus(
         hashed.select_columns(["content_hash", key_col])
         .groupby("content_hash")
         .aggregate(winner)
-        .select_columns(["winner_key"])
+        .select_columns(["content_hash", "winner_key"])
+        .rename_columns({"content_hash": "winner_hash"})
     )
     from vigil_ray.stages.blocks import compact_blocks
 
     # winners is aggregate-derived — compact so no 0-row block leads its
-    # shuffle and drops the join's schema broadcast (blocks.py)
+    # shuffle and drops the join's schema broadcast (blocks.py). The semi
+    # join keys on (content_hash, key) — key alone would also keep a
+    # SAME-KEY row with different content whose hash group it never won.
+    # Precondition (input guards): key_col is row-unique per content; fully
+    # identical duplicate input rows are upstream malformation this exact
+    # dedup cannot distinguish.
     deduped = hashed.join(
         compact_blocks(winners),
         join_type="left_semi",
         num_partitions=8,
-        on=(key_col,),
-        right_on=("winner_key",),
+        on=("content_hash", key_col),
+        right_on=("winner_hash", "winner_key"),
     )
 
     # 3. deterministic split — appended in place (embarrassingly parallel;

@@ -73,7 +73,14 @@ def synthesize_pages(
     and the SQL oracle can read the same file).
     """
     if out_path and os.path.exists(out_path):
-        return pq.read_table(out_path)
+        # validate the cache against (sf_dir, multiplier): a stale file from
+        # a different corpus or amplification must rebuild, not silently
+        # serve the wrong benchmark/oracle input
+        n_docs = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        if pq.read_metadata(out_path).num_rows == n_docs * multiplier:
+            return pq.read_table(out_path)
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )

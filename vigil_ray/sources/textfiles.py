@@ -35,7 +35,10 @@ def read_csv_tolerant(path: str):
         )
 
     try:
-        ds = rd.read_csv(path)
+        # eager: these are side-input files (eval truth, error reports) —
+        # a LAZY dataset would defer mid-file decode errors past this try
+        # and the fallback would never run (schema() samples one block)
+        ds = rd.read_csv(path).materialize()
         schema = ds.schema()
         if any(
             pa.types.is_binary(t) or pa.types.is_large_binary(t)
