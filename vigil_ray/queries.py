@@ -66,12 +66,31 @@ def _docs(sf_dir: str, columns=None):
     return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _synth_cache_path(sf_dir: str, kind: str) -> str:
+    """/tmp cache path for a synthesized fixture table, keyed on the SOURCE
+    DATA fingerprint (size+mtime of documents.parquet) so a regenerated
+    corpus can never serve a stale cache, while repeated query calls in one
+    driver session skip the driver-side Python synthesis loop entirely."""
+    import hashlib
+    import os
+
+    from vigil_ray.stages.ann import data_fingerprint
+
+    fp = hashlib.md5(
+        data_fingerprint(os.path.join(sf_dir, "documents.parquet")).encode()
+    ).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/vigil_synth/{kind}_{base}_{fp}.parquet"
+
+
 def _pages_ds(sf_dir: str):
     import ray.data as rd
 
     from vigil_ray.sources.pages import synthesize_pages
 
-    table = synthesize_pages(sf_dir)
+    table = synthesize_pages(
+        sf_dir, out_path=_synth_cache_path(sf_dir, "pages")
+    )
     # from_arrow yields ONE block → downstream map stages would run on a
     # single task; split so per-doc work parallelizes (~2k rows per block)
     return rd.from_arrow(table).repartition(max(1, table.num_rows // 2048))
@@ -302,7 +321,9 @@ def _variants_ds(sf_dir: str):
 
     from vigil_ray.sources.pages import synthesize_variants
 
-    table = synthesize_variants(sf_dir)
+    table = synthesize_variants(
+        sf_dir, out_path=_synth_cache_path(sf_dir, "variants")
+    )
     return rd.from_arrow(table).repartition(max(1, table.num_rows // 512))
 
 
@@ -1035,8 +1056,10 @@ def q_dedup_canonical(sf_dir: str):
 
 
 def q_events_sessions(sf_dir: str):
-    """30-min-gap sessionization per user (collect-list aggregate +
-    vectorized per-user gap scan — see stages/sessions.py)."""
+    """30-min-gap sessionization per user — one-sort fragment-merge
+    MONOID (stages/sessions.py): interior runs resolve in-block, each
+    block defers a constant-size boundary fragment, NO per-user collected
+    state anywhere."""
     from vigil_ray.sources.readers import read_table
     from vigil_ray.stages.sessions import sessionize
 
@@ -1066,55 +1089,73 @@ def q_multimodal_frames(sf_dir: str):
 
 
 def q_orders_per_nation(sf_dir: str):
-    """J3/J4-style join re-expressed for scale: the small sides (customer,
-    nation) are broadcast once via ``ray.put`` and the fact table streams
-    through a map-side hash join — no shuffle of orders rows."""
+    """J3/J4-style join re-expressed for scale: nation (25 rows) folds into
+    the customer dimension map-side, the dimension attaches to the orders
+    fact through the SIZE-GATED broadcast probe (``joins.broadcast_join`` —
+    an ungated ``ray.put`` of a whole dimension dict is a driver OOM at big
+    SF; past the gate it falls back to the partitioned hash join), and
+    per-nation partials aggregate with native Arrow ``group_by`` before the
+    nations-sized shuffle. No per-row Python on the fact path."""
+    import numpy as np
     import pyarrow.parquet as pq
-    import ray
     from ray.data.aggregate import Sum
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.joins import broadcast_join
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    cust_map = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    )
-    nation_map = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    ref = ray.put((cust_map, nation_map))
+    nmap = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )  # 25 rows — a genuinely fixed-size lookup
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cmap, nmap = ray.get(ref)
-        counts: dict = {}
-        sums: dict = {}
-        for ck, price in zip(
-            batch.column("o_custkey").to_pylist(),
-            batch.column("o_totalprice").to_pylist(),
-        ):
-            name = nmap.get(cmap.get(ck))
-            counts[name] = counts.get(name, 0) + 1
-            # exact integer cents: float sums of ~1e9 magnitudes can land
-            # within double error of a rounding boundary and flake the
-            # value-hash compare; integer sums are exact on both sides
-            sums[name] = sums.get(name, 0) + round(price * 100)
-        names = sorted(counts)
+    def with_name(batch: pa.Table) -> pa.Table:
+        names = [nmap[k] for k in batch.column("c_nationkey").to_pylist()]
         return pa.table(
             {
+                "c_custkey": batch.column("c_custkey"),
                 "n_name": pa.array(names, pa.string()),
-                "n_partial": pa.array([counts[n] for n in names], pa.int64()),
-                "sum_partial": pa.array([sums[n] for n in names], pa.int64()),
             }
         )
 
-    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    dim = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(with_name, batch_format="pyarrow")
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_join(orders, dim, key="o_custkey", right_key="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        # exact integer cents: float sums of ~1e9 magnitudes can land
+        # within double error of a rounding boundary and flake the
+        # value-hash compare; integer sums are exact on both sides
+        t = pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("n_name").aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table(
+            {
+                "n_name": g.column("n_name"),
+                "n_partial": g.column("one_sum"),
+                "sum_partial": g.column("cents_sum"),
+            }
+        )
+
     agg = (
-        orders.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(
             Sum("n_partial", alias_name="n_orders"),
@@ -1150,7 +1191,9 @@ def q_orders_quarter_ranges(sf_dir: str):
 
         b = ray.get(bref)
         dates = pc.cast(batch.column("o_orderdate"), pa.timestamp("us"))
-        d_us = np.asarray(dates.cast(pa.int64()).to_pylist(), dtype=np.int64)
+        d_us = dates.cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
         idx = np.searchsorted(b, d_us, side="right") - 1
         # a date before the first boundary would give idx=-1, which numpy
         # silently wraps to the LAST quarter — fail loudly instead
@@ -1160,10 +1203,8 @@ def q_orders_quarter_ranges(sf_dir: str):
                 "widen the boundary table in q_orders_quarter_ranges"
             )
         qstart = b[idx]
-        cents = np.asarray(
-            [round(p * 100) for p in batch.column("o_totalprice").to_pylist()],
-            dtype=np.int64,
-        )
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
         # map-side partial per quarter
         uniq, inv = np.unique(qstart, return_inverse=True)
         n_part = np.bincount(inv)
@@ -3862,13 +3903,13 @@ def q_events_nonblocked_counts(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+        import pyarrow.compute as pc
 
-        counts = Counter(batch.column("event_type").to_pylist())
+        vc = pc.value_counts(batch.column("event_type").combine_chunks())
         return pa.table(
             {
-                "event_type": pa.array(list(counts.keys()), pa.string()),
-                "n_partial": pa.array(list(counts.values()), pa.int64()),
+                "event_type": pc.struct_field(vc, "values"),
+                "n_partial": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
             }
         )
 
@@ -3957,7 +3998,7 @@ def q_events_late_stats(sf_dir: str):
 def q_events_funnel(sf_dir: str):
     """Ordered funnel (sequential-pattern operator): users who signed up,
     then clicked strictly after their first signup, then purchased strictly
-    after that first qualifying click. Collect-list per user + vectorized
+    after that first qualifying click. Fragment-merge monoid per sorted stream + vectorized
     stage resolution; global counts are partial sums."""
     from vigil_ray.sources.readers import read_table
     from vigil_ray.stages.sessions import funnel_counts
@@ -4012,50 +4053,39 @@ def q_events_moving_sum(sf_dir: str):
     """Per-key moving-window aggregate (SQL ``ROWS BETWEEN 4 PRECEDING AND
     CURRENT ROW``): the sliding 5-event sum of value (exact integer cents —
     float windowed averages are rounding-order-dependent) per user in
-    (ts, event_id) order. Collect-list per user + vectorized cumsum
-    difference per batch of users — no per-group UDF dispatch."""
+    (ts, event_id) order. Sorted-block rolling SUM
+    (`corpus.grouped_rolling_sum` — the rolling-median machinery with a sum
+    reducer): NO per-user collected state (this query's old collect-list
+    form was the engine's last unbounded per-key accumulator — one hot user
+    at web scale was one aggregator's whole heap)."""
     import numpy as np
-    import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_rolling_sum
 
     ds = read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
     )
 
-    def _triples(block) -> list:
-        ts = pc.cast(pc.cast(block.column("ts"), pa.timestamp("us")), pa.int64())
-        cents = [int(round(v * 100)) for v in block.column("value").to_pylist()]
-        return list(zip(ts.to_pylist(), block.column("event_id").to_pylist(), cents))
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: a + b,
-        name="evs",
-        accumulate_block=lambda acc, block: acc + _triples(block),
-    )
-    per_user = ds.groupby("user_id").aggregate(collect)
-
-    def windowed(batch: pa.Table) -> pa.Table:
-        eids, sums = [], []
-        for evs in batch.column("evs").to_pylist():
-            rows = sorted(tuple(e) for e in evs)  # (ts, event_id, cents)
-            cents = np.array([r[2] for r in rows], dtype=np.int64)
-            cum = np.concatenate([[0], np.cumsum(cents)])
-            n = len(cents)
-            lo = np.maximum(0, np.arange(n) - 4)
-            win = cum[np.arange(n) + 1] - cum[lo]
-            eids.extend(r[1] for r in rows)
-            sums.extend(win.tolist())
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "event_id": pa.array(eids, pa.int64()),
-                "mov_sum_cents": pa.array(sums, pa.int64()),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    return per_user.map_batches(windowed, batch_format="pyarrow")
+    rows = ds.map_batches(cents, batch_format="pyarrow")
+    out = grouped_rolling_sum(
+        rows, ["user_id"], ["ts", "event_id"], "cents", window=5,
+        out_col="mov_sum_cents",
+    )
+    return out.select_columns(["event_id", "mov_sum_cents"])
 
 
 def q_events_type_pivot(sf_dir: str):
@@ -4063,8 +4093,7 @@ def q_events_type_pivot(sf_dir: str):
     COLUMNS. Partial (user, type)→count maps per batch, one groupby(user)
     summing the fixed column set — the shuffle carries ≤1 row per (block,
     user), never events."""
-    from collections import Counter
-
+    import numpy as np
     from ray.data.aggregate import Sum
 
     from vigil_ray.sources.readers import read_table
@@ -4073,15 +4102,25 @@ def q_events_type_pivot(sf_dir: str):
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter(
-            zip(batch.column("user_id").to_pylist(), batch.column("event_type").to_pylist())
-        )
-        users = sorted({u for u, _ in counts})
-        cols = {"user_id": pa.array(users, pa.int64())}
+        import pyarrow.compute as pc
+
+        # native Arrow (user, type) partial counts (the user_mode_type
+        # idiom), then the per-type columns derive vectorized — the old
+        # Counter-over-zip walked every event row in the interpreter
+        g = batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        users = g.column("user_id")
+        tcol = g.column("event_type")
+        n = g.column("count_all")
+        uniq = users.unique()
+        cols = {"user_id": uniq}
+        zeros = np.zeros(len(uniq), np.int64)
+        idx = pc.index_in(users, value_set=uniq).to_numpy(zero_copy_only=False)
+        n_np = pc.cast(n, pa.int64()).to_numpy(zero_copy_only=False)
         for t in types:
-            cols[f"n_{t}"] = pa.array(
-                [counts.get((u, t), 0) for u in users], pa.int64()
-            )
+            out = zeros.copy()
+            mask = pc.equal(tcol, t).to_numpy(zero_copy_only=False)
+            out[idx[mask]] = n_np[mask]
+            cols[f"n_{t}"] = pa.array(out, pa.int64())
         return pa.table(cols)
 
     return (
@@ -4106,9 +4145,11 @@ def q_events_kmv_setops(sf_dir: str):
 def q_docs_contamination(sf_dir: str):
     """Benchmark decontamination (the eval-contamination hygiene pass):
     flag every non-benchmark doc sharing any word 5-gram with the benchmark
-    set (docs with doc_id % 97 == 0 stand in for an eval set). The benchmark
-    side is small by nature, so its distinct gram hashes broadcast once; the
-    corpus pass is an embarrassingly parallel flag map — no corpus shuffle."""
+    set (docs with doc_id < 64 stand in for an eval set — a FIXED-size
+    benchmark, like real eval suites: the broadcast gram set must not grow
+    with the corpus). The benchmark side's distinct gram hashes broadcast
+    once; the corpus pass is an embarrassingly parallel flag map — no
+    corpus shuffle."""
     import numpy as np
 
     from vigil_ray.stages.corpus import contamination_flags
@@ -4118,7 +4159,7 @@ def q_docs_contamination(sf_dir: str):
     def _part(bench: bool):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
-            is_bench = (ids % 97) == 0
+            is_bench = ids < 64
             mask = is_bench if bench else ~is_bench
             return batch.filter(pa.array(mask))
 
@@ -4992,13 +5033,13 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "g AS (SELECT doc_id, array_to_string(words[idx:idx+4], ' ') AS gram FROM "
             "  (SELECT doc_id, words, unnest(range(1, array_length(words) - 3)) AS idx "
             "   FROM w WHERE array_length(words) >= 5)), "
-            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 64), "
             "flags AS (SELECT g.doc_id, max(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS c "
-            "  FROM g LEFT JOIN bg ON g.gram = bg.gram WHERE g.doc_id % 97 <> 0 "
+            "  FROM g LEFT JOIN bg ON g.gram = bg.gram WHERE g.doc_id >= 64 "
             "  GROUP BY g.doc_id) "
             "SELECT d.doc_id, coalesce(f.c, 0) = 1 AS contaminated "
             "FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id "
-            "WHERE d.doc_id % 97 <> 0"
+            "WHERE d.doc_id >= 64"
         ),
         "corpus_top_terms": (
             "WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token "

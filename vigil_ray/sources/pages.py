@@ -110,6 +110,7 @@ def synthesize_pages(
         }
     )
     if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         tmp = out_path + ".tmp"
         # small row groups: parquet readers parallelize per row group — a
         # single-row-group file forces a single read task and serializes the
@@ -132,9 +133,12 @@ EXACT_COPY_OFFSET = 1_000_000   # doc_id % 7 == 3 → identical copy
 NEAR_COPY_OFFSET = 2_000_000    # doc_id % 5 == 0 → one word appended
 
 
-def synthesize_variants(sf_dir: str) -> pa.Table:
+def synthesize_variants(sf_dir: str, out_path: Optional[str] = None) -> pa.Table:
     """Documents corpus augmented with deterministic duplicates, for the
-    near-dup operators (MinHash-LSH, SimHash, n-gram Jaccard):
+    near-dup operators (MinHash-LSH, SimHash, n-gram Jaccard). With
+    ``out_path`` the table is written once and reread on later calls
+    (callers key the path on a source-data fingerprint, so a regenerated
+    documents.parquet can never serve a stale cache):
 
     - every base doc appears as ``vid = doc_id``;
     - docs with ``doc_id % 7 == 3`` get an *exact* copy at
@@ -148,6 +152,8 @@ def synthesize_variants(sf_dir: str) -> pa.Table:
     wide margin, and the expected pair set is pure doc_id arithmetic — the
     SQL oracle needs no MinHash.
     """
+    if out_path and os.path.exists(out_path):
+        return pq.read_table(out_path)
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -162,12 +168,18 @@ def synthesize_variants(sf_dir: str) -> pa.Table:
         if i % 5 == 0:
             vids.append(i + NEAR_COPY_OFFSET)
             out_texts.append(t + " extra")
-    return pa.table(
+    table = pa.table(
         {
             "vid": pa.array(vids, pa.int64()),
             "text": pa.array(out_texts, pa.string()),
         }
     )
+    if out_path:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tmp = out_path + ".tmp"
+        pq.write_table(table, tmp, row_group_size=4096)
+        os.replace(tmp, out_path)
+    return table
 
 
 # url-variant frontier: canonicalization construction offsets

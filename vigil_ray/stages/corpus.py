@@ -987,13 +987,15 @@ def grouped_shift(
     return ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
 
 
-def grouped_rolling_median(
+def _grouped_rolling(
     ds,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     value_col: str,
-    window: int = 5,
-    out_col: str = "rolling_median",
+    window: int,
+    out_col: str,
+    reduce_fn,
+    out_type,
 ):
     """SQL ``median(v) OVER (PARTITION BY key ORDER BY ord ROWS BETWEEN
     window-1 PRECEDING AND CURRENT ROW)`` — a per-row ORDER-STATISTIC
@@ -1072,7 +1074,7 @@ def grouped_rolling_median(
 
     def med(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column(out_col, pa.nulls(0, pa.float64()))
+            return batch.append_column(out_col, pa.nulls(0, out_type))
         n = batch.num_rows
         starts = _run_starts_impl(batch, key_cols)
         lengths = np.diff(np.append(starts, n))
@@ -1094,10 +1096,59 @@ def grouped_rolling_median(
         w = win[pos].copy()
         elem_pos = pos[:, None] - (window - 1) + np.arange(window)[None, :]
         w[elem_pos < run_start_ext[:, None]] = np.nan
-        out = np.nanmedian(w, axis=1)
-        return batch.append_column(out_col, pa.array(out, pa.float64()))
+        out = reduce_fn(w)
+        if pa.types.is_integer(out_type):
+            out = out.astype(np.int64)
+        return batch.append_column(out_col, pa.array(out, out_type))
 
     return ds.map_batches(med, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_rolling_median(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window: int = 5,
+    out_col: str = "rolling_median",
+):
+    """Trailing-window MEDIAN per row — see :func:`_grouped_rolling` for
+    the sorted-block two-phase shape (chained tail carry; no per-key
+    state). Integer-quantized inputs make every ≤window-element median a
+    dyadic-exact double."""
+    return _grouped_rolling(
+        ds,
+        key_cols,
+        order_cols,
+        value_col,
+        window,
+        out_col,
+        lambda w: np.nanmedian(w, axis=1),
+        pa.float64(),
+    )
+
+
+def grouped_rolling_sum(
+    ds,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window: int = 5,
+    out_col: str = "rolling_sum",
+):
+    """Trailing-window SUM per row (SQL ``ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW``) on the same machinery — integer-exact for
+    integer-quantized inputs."""
+    return _grouped_rolling(
+        ds,
+        key_cols,
+        order_cols,
+        value_col,
+        window,
+        out_col,
+        lambda w: np.nansum(w, axis=1),
+        pa.int64(),
+    )
 
 
 def pack_shards(ds, id_col: str, cost_col: str, shard_size: int):
