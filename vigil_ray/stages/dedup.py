@@ -858,6 +858,13 @@ def prefix_filter_pairs(
     num, den = frac.numerator, frac.denominator
 
     def explode(batch: pa.Table) -> pa.Table:
+        # shingles travel as 64-bit hashes, not strings: every downstream
+        # sort/shuffle (df count, lookup join, rank scan, bucket pairs)
+        # moves int64 keys instead of ~30-byte grams. A hash collision can
+        # only create a SPURIOUS candidate pair — the exact-Jaccard verify
+        # kills it — so correctness is untouched (the prefix principle
+        # holds under any consistent global token order, hash order
+        # included).
         vids, gs, ls = [], [], []
         for vid, t in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
@@ -865,12 +872,18 @@ def prefix_filter_pairs(
             grams = set(word_ngrams(t or "", ngram))
             for g in grams:
                 vids.append(vid)
-                gs.append(g)
+                gs.append(
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    >> 1
+                )
                 ls.append(len(grams))
         return pa.table(
             {
                 "vid": pa.array(vids, pa.int64()),
-                "g": pa.array(gs, pa.string()),
+                "g": pa.array(gs, pa.int64()),
                 "l": pa.array(ls, pa.int64()),
                 "one": pa.array(np.ones(len(vids), np.int64)),
             }
