@@ -4208,7 +4208,83 @@ def q_events_props_stats(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def queries() -> Dict[str, Callable]:
+    # Registry ORDER is deliberate: the external driver verifies roughly the
+    # first 50 entries per round, so the window leads with the queries that
+    # have never had a driver-green row (rounds 1-3 checked 67 distinct of
+    # 120), plus six anchors — the §2 correctness anchors (pages_pii_labels,
+    # pages_scrubbed, eval_confusion, review_items) and the two queries whose
+    # implementation changed this round (ann_ivf_top10, doc_top_tfidf) — so
+    # regressions in changed code surface externally. Positions 51-59 hold
+    # the never-checked queries whose semantics a checked sibling already
+    # pins (e.g. events_moving_sum vs events_sliding); everything after that
+    # was driver-green in r1-r3 and stays covered by the local two-scale
+    # oracle protocol (.claude/skills/verify).
     return {
+        # --- never driver-checked (r1-r3), most load-bearing first ---
+        "dedup_prefix_filter_pairs": q_dedup_prefix_filter_pairs,
+        "doc_segment_dedup": q_doc_segment_dedup,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "ann_recall_curve": q_ann_recall_curve,
+        "corpus_bpe_train": q_corpus_bpe_train,
+        "corpus_bpe_pair": q_corpus_bpe_pair,
+        "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
+        "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
+        "corpus_top_terms": q_corpus_top_terms,
+        # changed this round — keep in the driver window
+        "doc_top_tfidf": q_doc_top_tfidf,
+        "ann_ivf_top10": q_ann_ivf_top10,
+        # §2 anchors (driver-green r3; re-checked to catch r4 regressions)
+        "pages_pii_labels": q_pages_pii_labels,
+        "pages_scrubbed": q_pages_scrubbed,
+        "eval_confusion": q_eval_confusion,
+        "review_items": q_review_items,
+        # --- never driver-checked, continued ---
+        "pages_template_tails": q_pages_template_tails,
+        "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
+        "events_watermark_windows": q_events_watermark_windows,
+        "events_funnel": q_events_funnel,
+        "events_rolling_median": q_events_rolling_median,
+        "events_decayed_user_score": q_events_decayed_user_score,
+        "events_window_join": q_events_window_join,
+        "events_threshold_sweep": q_events_threshold_sweep,
+        "events_nonblocked_counts": q_events_nonblocked_counts,
+        "events_skew_join_segments": q_events_skew_join_segments,
+        "events_user_gaps": q_events_user_gaps,
+        "events_validity_intervals": q_events_validity_intervals,
+        "events_type_pivot": q_events_type_pivot,
+        "events_props_k": q_events_props_k,
+        "events_props_stats": q_events_props_stats,
+        "events_hll_users": q_events_hll_users,
+        "events_cms_user_counts": q_events_cms_user_counts,
+        "split_leakage": q_split_leakage,
+        "docs_contamination": q_docs_contamination,
+        "docs_zorder": q_docs_zorder,
+        "docs_shuffle_rank": q_docs_shuffle_rank,
+        "docs_mixing_order": q_docs_mixing_order,
+        "docs_token_budget": q_docs_token_budget,
+        "doc_pack_shards": q_doc_pack_shards,
+        "corpus_prep_assignments": q_corpus_prep_assignments,
+        "docs_top_decile_per_lang": q_docs_top_decile_per_lang,
+        "docs_source_cap": q_docs_source_cap,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_chunks": q_docs_chunks,
+        "docs_chunk_dup_pairs": q_docs_chunk_dup_pairs,
+        "docs_pagerank": q_docs_pagerank,
+        "docs_snapshot_merge": q_docs_snapshot_merge,
+        "embeddings_quantized": q_embeddings_quantized,
+        "frontier_prep": q_frontier_prep,
+        # --- ~position 50: never-checked queries pinned by a checked sibling ---
+        "events_moving_sum": q_events_moving_sum,       # sibling: events_sliding ✓
+        "events_value_zscore": q_events_value_zscore,   # sibling: events_value_percent_rank ✓
+        "events_late_stats": q_events_late_stats,       # sibling: events_watermark_windows
+        "events_type_kmv": q_events_type_kmv,           # sibling: events_kmv_users ✓
+        "events_kmv_setops": q_events_kmv_setops,       # sibling: events_kmv_users ✓
+        "docs_length_decile": q_docs_length_decile,     # sibling: docs_top_decile_per_lang
+        "docs_rollup_stats": q_docs_rollup_stats,       # sibling: lang_doc_counts ✓
+        "docs_sample_per_lang": q_docs_sample_per_lang, # sibling: docs_weighted_sample
+        "docs_hash_split": q_docs_hash_split,           # sibling: corpus_prep_assignments
+        # --- driver-green in r1-r3 ---
         "lang_doc_counts": q_lang_doc_counts,
         "doc_token_counts": q_doc_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4217,11 +4293,8 @@ def queries() -> Dict[str, Callable]:
         "top10_longest_docs": q_top10_longest_docs,
         "events_hourly": q_events_hourly,
         "events_user_stats": q_events_user_stats,
-        "pages_pii_labels": q_pages_pii_labels,
-        "pages_scrubbed": q_pages_scrubbed,
         "pages_summary": q_pages_summary,
         "pages_type_counts": q_pages_type_counts,
-        "eval_confusion": q_eval_confusion,
         "ann_cosine_top10": q_ann_cosine_top10,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -4235,8 +4308,6 @@ def queries() -> Dict[str, Callable]:
         "orders_per_nation": q_orders_per_nation,
         "orders_quarter_ranges": q_orders_quarter_ranges,
         "lineitem_pricing": q_lineitem_pricing,
-        "review_items": q_review_items,
-        "ann_ivf_top10": q_ann_ivf_top10,
         "ann_ivf_persisted_top10": q_ann_ivf_persisted_top10,
         "order_priority_items": q_order_priority_items,
         "events_sliding": q_events_sliding,
@@ -4259,25 +4330,9 @@ def queries() -> Dict[str, Callable]:
         "docs_dup_triangles": q_docs_dup_triangles,
         "docs_delta_ingest": q_docs_delta_ingest,
         "docs_url_dedup": q_docs_url_dedup,
-        "pages_template_tails": q_pages_template_tails,
-        "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
-        "events_decayed_user_score": q_events_decayed_user_score,
-        "corpus_bpe_pair": q_corpus_bpe_pair,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "corpus_bpe_train": q_corpus_bpe_train,
-        "frontier_prep": q_frontier_prep,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "ann_recall_curve": q_ann_recall_curve,
-        "events_rolling_median": q_events_rolling_median,
-        "split_leakage": q_split_leakage,
-        "docs_zorder": q_docs_zorder,
-        "dedup_prefix_filter_pairs": q_dedup_prefix_filter_pairs,
         "events_kmv_users": q_events_kmv_users,
         "lang_top_docs_concat": q_lang_top_docs_concat,
-        "doc_top_tfidf": q_doc_top_tfidf,
         "events_asof_join": q_events_asof_join,
-        "events_window_join": q_events_window_join,
-        "events_threshold_sweep": q_events_threshold_sweep,
         "top3_docs_per_lang": q_top3_docs_per_lang,
         "doc_length_quantiles": q_doc_length_quantiles,
         "distinct_langs": q_distinct_langs,
@@ -4291,44 +4346,6 @@ def queries() -> Dict[str, Callable]:
         "embedding_centroids": q_embedding_centroids,
         "confidence_histogram": q_confidence_histogram,
         "eval_boolean_labels": q_eval_boolean_labels,
-        "doc_segment_dedup": q_doc_segment_dedup,
-        "doc_pack_shards": q_doc_pack_shards,
-        "docs_shuffle_rank": q_docs_shuffle_rank,
-        "docs_hash_split": q_docs_hash_split,
-        "events_nonblocked_counts": q_events_nonblocked_counts,
-        "docs_top_decile_per_lang": q_docs_top_decile_per_lang,
-        "docs_source_cap": q_docs_source_cap,
-        "events_watermark_windows": q_events_watermark_windows,
-        "events_late_stats": q_events_late_stats,
-        "events_funnel": q_events_funnel,
-        "docs_sample_per_lang": q_docs_sample_per_lang,
-        "embeddings_quantized": q_embeddings_quantized,
-        "corpus_prep_assignments": q_corpus_prep_assignments,
-        "events_moving_sum": q_events_moving_sum,
-        "events_type_pivot": q_events_type_pivot,
-        "events_kmv_setops": q_events_kmv_setops,
-        "docs_contamination": q_docs_contamination,
-        "corpus_top_terms": q_corpus_top_terms,
-        "docs_rollup_stats": q_docs_rollup_stats,
-        "events_value_zscore": q_events_value_zscore,
-        "docs_snapshot_merge": q_docs_snapshot_merge,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "docs_length_decile": q_docs_length_decile,
-        "events_type_kmv": q_events_type_kmv,
-        "docs_chunks": q_docs_chunks,
-        "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
-        "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
-        "docs_mixing_order": q_docs_mixing_order,
-        "docs_token_budget": q_docs_token_budget,
-        "events_cms_user_counts": q_events_cms_user_counts,
-        "docs_chunk_dup_pairs": q_docs_chunk_dup_pairs,
-        "docs_pagerank": q_docs_pagerank,
-        "events_hll_users": q_events_hll_users,
-        "events_skew_join_segments": q_events_skew_join_segments,
-        "events_user_gaps": q_events_user_gaps,
-        "events_validity_intervals": q_events_validity_intervals,
-        "events_props_k": q_events_props_k,
-        "events_props_stats": q_events_props_stats,
     }
 
 
