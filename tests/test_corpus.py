@@ -182,6 +182,31 @@ class TestVectorizedBloom:
         assert mask[:100].all()
         assert mask[100:].sum() < 15
 
+    def test_dtype_width_mismatch_no_false_negatives(self):
+        """polars' xxhash is dtype-sensitive: an int32 build probed with
+        int64 keys (or vice versa) silently KEPT blocklisted rows before the
+        canonical-width cast. Both widths must hash identically now."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import vbloom_build, vbloom_mask
+
+        keys32 = rd.from_arrow(
+            pa.table({"id": pa.array(list(range(100)), pa.int32())})
+        )
+        bits = vbloom_build(keys32, "id", m_bits=1 << 13)
+        mask = vbloom_mask(pa.array(list(range(100)), pa.int64()), bits, 1 << 13)
+        assert mask.all()  # no false negatives across widths
+        # and the reverse direction: int64 build, int32 probe
+        keys64 = rd.from_arrow(
+            pa.table({"id": pa.array(list(range(100)), pa.int64())})
+        )
+        bits64 = vbloom_build(keys64, "id", m_bits=1 << 13)
+        mask32 = vbloom_mask(
+            pa.array(list(range(100)), pa.int32()), bits64, 1 << 13
+        )
+        assert mask32.all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupQuantileFilter:
@@ -1050,6 +1075,15 @@ class TestUrlDedup:
             ("https://example.test/doc/1?page=2", "https://example.test/doc/1?page=2"),
             # tracking block after a real param: only the utm tail drops
             ("https://example.test/a?page=2&utm_x=1", "https://example.test/a?page=2"),
+            # tracking param BEFORE a real param: the real param survives
+            # (regression for the strip-to-end-of-string rule)
+            ("https://example.test/a?utm_source=x&page=2",
+             "https://example.test/a?page=2"),
+            # utm params sandwiching a real one
+            ("https://example.test/a?utm_a=1&page=2&utm_b=3",
+             "https://example.test/a?page=2"),
+            # only utm params → bare path
+            ("https://example.test/a?utm_a=1&utm_b=2", "https://example.test/a"),
             # fragment alone
             ("https://example.test/a#sec", "https://example.test/a"),
             # www + host case only

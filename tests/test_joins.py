@@ -142,6 +142,50 @@ class TestBroadcastJoin:
             check_dtype=False,
         )
 
+    def test_invalid_how_raises_at_entry(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.joins import broadcast_join
+
+        left = rd.from_items([{"k": 1, "x": 0}])
+        right = rd.from_items([{"rk": 1, "v": 1}])
+        # must raise regardless of which side of the size gate the right
+        # side lands — semantics can't depend on |right|
+        with pytest.raises(ValueError, match="how"):
+            broadcast_join(left, right, key="k", right_key="rk", how="right_outer")
+        with pytest.raises(ValueError, match="how"):
+            broadcast_join(
+                left, right, key="k", right_key="rk", how="full_outer",
+                max_broadcast_rows=0,
+            )
+
+    def test_null_left_keys(self):
+        """Null probe keys follow SQL semantics: dropped on inner, kept with
+        null attached values on left_outer — and string keys must not raise
+        TypeError inside the searchsorted probe."""
+        import ray.data as rd
+
+        from vigil_ray.stages.joins import broadcast_join
+
+        left = rd.from_items(
+            [{"k": "a", "x": 1}, {"k": None, "x": 2}, {"k": "z", "x": 3}]
+        )
+        right = rd.from_items([{"rk": "a", "v": 10}, {"rk": "z", "v": 30}])
+        inner = (
+            broadcast_join(left, right, key="k", right_key="rk", how="inner")
+            .to_pandas()
+            .sort_values("x")
+        )
+        assert inner["x"].tolist() == [1, 3] and inner["v"].tolist() == [10, 30]
+        outer = (
+            broadcast_join(left, right, key="k", right_key="rk", how="left_outer")
+            .to_pandas()
+            .sort_values("x")
+        )
+        assert outer["x"].tolist() == [1, 2, 3]
+        assert outer["v"].tolist()[0] == 10 and outer["v"].tolist()[2] == 30
+        assert pd.isna(outer["v"].tolist()[1])
+
     def test_duplicate_right_keys_raise(self):
         import ray.data as rd
 

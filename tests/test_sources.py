@@ -64,6 +64,20 @@ class TestPagesSynthesis:
         b = synthesize_pages(SF, out_path=out)  # second call reads the file
         assert a.equals(b)
 
+    def test_stale_cache_rebuilt_on_stamp_mismatch(self, tmp_path):
+        """A same-path cache from a DIFFERENT synthesis input (here: another
+        multiplier — same effect as a regenerated documents.parquet) must be
+        rebuilt: validity lives in the file's embedded source stamp, not in
+        the caller's path naming."""
+        from vigil_ray.sources.pages import synthesize_pages
+
+        out = str(tmp_path / "pages.parquet")
+        synthesize_pages(SF, multiplier=2, out_path=out)
+        fresh = synthesize_pages(SF, multiplier=1, out_path=out)
+        assert fresh.num_rows == 500  # not the stale 1000-row cache
+        again = synthesize_pages(SF, multiplier=1, out_path=out)
+        assert fresh.equals(again)  # and the rebuilt cache is served warm
+
     def test_multiplier_distinct_keys(self):
         from vigil_ray.sources.pages import synthesize_pages
 

@@ -247,7 +247,9 @@ class TestWebtextKernelProperties:
         www=st.sampled_from(["", "www.", "WWW."]),
         host=st.sampled_from(["example.test", "Sub1.DOM3.test", "a.b.c.test"]),
         path=st.sampled_from(["", "/", "/p/1", "/p/1/", "/UPPER/Case"]),
-        query=st.sampled_from(["", "?page=2", "?utm_source=x", "?page=2&utm_a=1"]),
+        query=st.sampled_from(
+            ["", "?page=2", "?utm_source=x", "?page=2&utm_a=1", "?utm_a=1&page=2"]
+        ),
         frag=st.sampled_from(["", "#f", "#frag/with?marks"]),
     )
     @settings(**_SETTINGS)

@@ -723,7 +723,7 @@ def q_docs_url_dedup(sf_dir: str):
     """URL-canonicalization dedup over a synthetic crawl frontier (see
     :func:`vigil_ray.sources.pages.synthesize_url_variants` for the variant
     grammar): normalize every URL with vectorized RE2 kernels (strip
-    fragment + trailing utm_* block, https scheme, lowercase host, drop
+    fragment + every utm_* param, https scheme, lowercase host, drop
     www., strip trailing slash) and keep one row per canonical URL with the
     min row_id and the variant count — the CommonCrawl-style pre-fetch
     frontier dedup. Normalization is map-side; the only shuffle is the
@@ -5265,8 +5265,10 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  UNION ALL "
             "  SELECT doc_id + 30000000, 'http://example.test' || path || '/' "
             "  FROM ids WHERE doc_id % 5 = 2), "
-            "n1 AS (SELECT row_id, regexp_replace(regexp_replace(url, '#.*$', ''), "
-            "  '[?&]utm_.*$', '') AS u FROM urls), "
+            "n1 AS (SELECT row_id, regexp_replace(regexp_replace("
+            "  regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "  '&utm_[^&]*', '', 'g'), '\\?utm_[^&]*&', '?'), "
+            "  '\\?utm_[^&]*$', '') AS u FROM urls), "
             "n2 AS (SELECT row_id, 'https://' || "
             "  regexp_replace(lower(regexp_extract(u, '^(?i:https?)://([^/]*)', 1)), "
             "    '^www\\.', '') || "
@@ -5400,8 +5402,10 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "    CAST(doc_id % 11 AS VARCHAR) || '.TEST/p/' || "
             "    CAST(doc_id AS VARCHAR) || '?utm_source=x#f' "
             "  FROM documents WHERE doc_id % 4 = 1), "
-            "n1 AS (SELECT row_id, regexp_replace(regexp_replace(url, '#.*$', ''), "
-            "  '[?&]utm_.*$', '') AS v FROM u), "
+            "n1 AS (SELECT row_id, regexp_replace(regexp_replace("
+            "  regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "  '&utm_[^&]*', '', 'g'), '\\?utm_[^&]*&', '?'), "
+            "  '\\?utm_[^&]*$', '') AS v FROM u), "
             "n2 AS (SELECT row_id, 'https://' || "
             "  regexp_replace(lower(regexp_extract(v, '^(?i:https?)://([^/]*)', 1)), "
             "    '^www\\.', '') || "

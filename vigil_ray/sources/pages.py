@@ -58,6 +58,39 @@ FAMILIES = {
 
 _EPOCH = datetime(2026, 1, 1)
 
+_STAMP_KEY = b"vigil_source_stamp"
+
+
+def _source_stamp(sf_dir: str, multiplier: int = 1) -> bytes:
+    """Fingerprint of the synthesis inputs (documents.parquet size+mtime and
+    the amplification factor), embedded in the cache file's parquet schema
+    metadata — cache validity is decided by the FILE itself, not by whether
+    the caller remembered to fingerprint the path."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}:m{multiplier}".encode()
+
+
+def _stamped_cache(out_path: str, stamp: bytes) -> Optional[pa.Table]:
+    """Return the cached table iff its embedded stamp matches, else None."""
+    meta = pq.read_schema(out_path).metadata or {}
+    if meta.get(_STAMP_KEY) == stamp:
+        return pq.read_table(out_path)
+    return None
+
+
+def _write_stamped(table: pa.Table, out_path: str, stamp: bytes) -> None:
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    # small row groups: parquet readers parallelize per row group — a
+    # single-row-group file forces a single read task and serializes the
+    # whole downstream pipeline (measured: 32 cpus ran NO faster than 1)
+    pq.write_table(
+        table.replace_schema_metadata({_STAMP_KEY: stamp}),
+        tmp,
+        row_group_size=4096,
+    )
+    os.replace(tmp, out_path)
+
 
 def synthesize_pages(
     sf_dir: str,
@@ -72,15 +105,15 @@ def synthesize_pages(
     idempotent: if the file already exists it is returned as-is (cheap reruns,
     and the SQL oracle can read the same file).
     """
+    stamp = _source_stamp(sf_dir, multiplier)
     if out_path and os.path.exists(out_path):
-        # validate the cache against (sf_dir, multiplier): a stale file from
-        # a different corpus or amplification must rebuild, not silently
-        # serve the wrong benchmark/oracle input
-        n_docs = pq.read_metadata(
-            os.path.join(sf_dir, "documents.parquet")
-        ).num_rows
-        if pq.read_metadata(out_path).num_rows == n_docs * multiplier:
-            return pq.read_table(out_path)
+        # validate the cache against the embedded source fingerprint: a stale
+        # file from a different corpus, a regenerated documents.parquet, or a
+        # different amplification must rebuild, not silently serve the wrong
+        # benchmark/oracle input — even when the caller passed a plain path
+        cached = _stamped_cache(out_path, stamp)
+        if cached is not None:
+            return cached
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
@@ -110,13 +143,7 @@ def synthesize_pages(
         }
     )
     if out_path:
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        tmp = out_path + ".tmp"
-        # small row groups: parquet readers parallelize per row group — a
-        # single-row-group file forces a single read task and serializes the
-        # whole downstream pipeline (measured: 32 cpus ran NO faster than 1)
-        pq.write_table(table, tmp, row_group_size=4096)
-        os.replace(tmp, out_path)
+        _write_stamped(table, out_path, stamp)
     return table
 
 
@@ -136,9 +163,10 @@ NEAR_COPY_OFFSET = 2_000_000    # doc_id % 5 == 0 → one word appended
 def synthesize_variants(sf_dir: str, out_path: Optional[str] = None) -> pa.Table:
     """Documents corpus augmented with deterministic duplicates, for the
     near-dup operators (MinHash-LSH, SimHash, n-gram Jaccard). With
-    ``out_path`` the table is written once and reread on later calls
-    (callers key the path on a source-data fingerprint, so a regenerated
-    documents.parquet can never serve a stale cache):
+    ``out_path`` the table is written once and reread on later calls; cache
+    validity is enforced by the source fingerprint embedded in the file's
+    parquet metadata, so a regenerated documents.parquet can never serve a
+    stale cache regardless of how the caller named the path:
 
     - every base doc appears as ``vid = doc_id``;
     - docs with ``doc_id % 7 == 3`` get an *exact* copy at
@@ -152,8 +180,11 @@ def synthesize_variants(sf_dir: str, out_path: Optional[str] = None) -> pa.Table
     wide margin, and the expected pair set is pure doc_id arithmetic — the
     SQL oracle needs no MinHash.
     """
+    stamp = _source_stamp(sf_dir)
     if out_path and os.path.exists(out_path):
-        return pq.read_table(out_path)
+        cached = _stamped_cache(out_path, stamp)
+        if cached is not None:
+            return cached
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -175,10 +206,7 @@ def synthesize_variants(sf_dir: str, out_path: Optional[str] = None) -> pa.Table
         }
     )
     if out_path:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        tmp = out_path + ".tmp"
-        pq.write_table(table, tmp, row_group_size=4096)
-        os.replace(tmp, out_path)
+        _write_stamped(table, out_path, stamp)
     return table
 
 

@@ -17,6 +17,27 @@ that feeds a join.
 from __future__ import annotations
 
 
+def _blocks_with_meta(mat):
+    """``(block_refs, metadata)`` of a materialized dataset.
+
+    Prefers the private ``_plan._snapshot_bundle`` (zero work), falls back to
+    the ``iter_internal_ref_bundles`` DeveloperAPI (metadata-only iteration),
+    and returns ``(None, None)`` if a Ray upgrade renamed both — callers must
+    then degrade gracefully instead of crashing every sorted primitive."""
+    plan = getattr(mat, "_plan", None)
+    bundle = getattr(plan, "_snapshot_bundle", None) if plan is not None else None
+    if bundle is not None:
+        return list(bundle.block_refs), list(bundle.metadata)
+    try:
+        refs, meta = [], []
+        for rb in mat.iter_internal_ref_bundles():
+            refs.extend(rb.block_refs)
+            meta.extend(rb.metadata)
+        return refs, meta
+    except Exception:
+        return None, None
+
+
 def compact_blocks(ds):
     """Materialize ``ds`` and drop its empty blocks, so every remaining
     block carries the real schema (join-safe). Decision uses per-block
@@ -28,12 +49,17 @@ def compact_blocks(ds):
     from ray.data.dataset import MaterializedDataset
 
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
-    bundle = mat._plan._snapshot_bundle
-    if bundle is None:  # a copied/derived MaterializedDataset can lack one
+    all_refs, meta = _blocks_with_meta(mat)
+    if all_refs is None:  # a copied/derived MaterializedDataset can lack one
         mat = mat.materialize()
-        bundle = mat._plan._snapshot_bundle
-    refs = [r for r, m in zip(bundle.block_refs, bundle.metadata) if m.num_rows]
-    if not refs or len(refs) == len(bundle.block_refs):
+        all_refs, meta = _blocks_with_meta(mat)
+    if all_refs is None:
+        # Ray internals changed under us: degrade to the unmodified dataset.
+        # Join-safety (the reason compact exists) is then down to Ray itself
+        # having fixed the 0-row-first-block schema broadcast.
+        return mat
+    refs = [r for r, m in zip(all_refs, meta) if m.num_rows]
+    if not refs or len(refs) == len(all_refs):
         return mat
     out = rd.from_arrow_refs(refs)
     # keep the source MaterializedDataset alive alongside the view: the
@@ -68,12 +94,14 @@ def coalesce_blocks(ds, target_bytes: int = 64 << 20, min_blocks: int | None = N
             else 8
         )
     mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
-    bundle = mat._plan._snapshot_bundle
-    if bundle is None:
+    refs, meta = _blocks_with_meta(mat)
+    if refs is None:
         mat = mat.materialize()
-        bundle = mat._plan._snapshot_bundle
-    n_blocks = len(bundle.block_refs)
-    total = sum((m.size_bytes or 0) for m in bundle.metadata)
+        refs, meta = _blocks_with_meta(mat)
+    if refs is None:
+        return mat  # Ray internals changed: skip the coalesce (perf-only loss)
+    n_blocks = len(refs)
+    total = sum((m.size_bytes or 0) for m in meta)
     want = int(min(n_blocks, max(min_blocks, -(-total // target_bytes))))
     if want <= n_blocks // 2:
         return mat.repartition(want)

@@ -93,16 +93,17 @@ def chunk_documents(
 
 def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
     """Vectorized crawl-URL canonicalization (the CommonCrawl-style dedup
-    key): strip ``#fragment``, strip a trailing ``utm_*`` tracking block,
-    force the https scheme, lowercase the host, drop a leading ``www.``,
-    strip one trailing path slash. Pure ``pyarrow.compute`` RE2 kernels —
-    zero Python per row, embarrassingly parallel (no shuffle).
+    key): strip ``#fragment``, strip every ``utm_*`` tracking param, force
+    the https scheme, lowercase the host, drop a leading ``www.``, strip one
+    trailing path slash. Pure ``pyarrow.compute`` RE2 kernels — zero Python
+    per row, embarrassingly parallel (no shuffle).
 
-    Assumes tracking params trail any real query params
-    (``?page=2&utm_source=..``): the rule removes from the first ``[?&]utm_``
-    to end-of-string, exact under that layout (the synthetic frontier's
-    documented convention). Non-tracking query params are PRESERVED — a
-    ``?page=2`` URL is a distinct resource, not a duplicate.
+    Tracking removal is PER SEGMENT, position-independent: a real param
+    after a tracking param (``?utm_source=x&page=2``) survives as
+    ``?page=2`` — three RE2 passes drop ``&utm_…`` segments anywhere, then
+    repair a leading ``?utm_…&`` / lone ``?utm_…``. Non-tracking query
+    params are PRESERVED — a ``?page=2`` URL is a distinct resource, not a
+    duplicate.
     """
 
     def _norm(batch: pa.Table) -> pa.Table:
@@ -110,7 +111,9 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
 
         u = pc.cast(batch.column(url_col), pa.string())
         u = pc.replace_substring_regex(u, r"#.*$", "")
-        u = pc.replace_substring_regex(u, r"[?&]utm_.*$", "")
+        u = pc.replace_substring_regex(u, r"&utm_[^&]*", "")
+        u = pc.replace_substring_regex(u, r"\?utm_[^&]*&", "?")
+        u = pc.replace_substring_regex(u, r"\?utm_[^&]*$", "")
         m = pc.extract_regex(
             u, r"^(?i:https?)://(?P<host>[^/]*)(?P<rest>.*)$"
         )
@@ -1325,10 +1328,28 @@ def _vbloom_hashes(col) -> "tuple":
     """Two independent vectorized 64-bit hashes of an Arrow column (polars
     xxhash under two seeds); Kirsch-Mitzenmacher double hashing derives the
     K probe positions as ``h1 + i*h2`` (uint64 wraparound is deterministic
-    on both the build and probe side)."""
-    import polars as pl
+    on both the build and probe side).
 
-    s = pl.from_arrow(col if not isinstance(col, pa.Table) else col)
+    polars' hash is DTYPE-SENSITIVE: the same value hashes differently as
+    int32 vs int64, so a width mismatch between the Bloom build side and the
+    probe side would produce silent false NEGATIVES (blocklisted rows kept).
+    Canonicalize numeric widths here — on BOTH sides symmetrically — before
+    hashing: signed ints → int64, unsigned → uint64, floats → float64
+    (string vs large_string both land on polars Utf8 already)."""
+    import polars as pl
+    import pyarrow.compute as pc
+    import pyarrow.types as pat
+
+    if isinstance(col, pa.Table):
+        col = col.column(0)
+    t = col.type
+    if pat.is_unsigned_integer(t) and t != pa.uint64():
+        col = pc.cast(col, pa.uint64())
+    elif pat.is_signed_integer(t) and t != pa.int64():
+        col = pc.cast(col, pa.int64())
+    elif pat.is_floating(t) and t != pa.float64():
+        col = pc.cast(col, pa.float64())
+    s = pl.from_arrow(col)
     if isinstance(s, pl.DataFrame):  # from_arrow(Table) → DataFrame
         s = s.to_series(0)
     return s.hash(seed=11).to_numpy(), s.hash(seed=23).to_numpy()

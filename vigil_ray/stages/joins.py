@@ -179,6 +179,14 @@ def broadcast_join(
 
     from vigil_ray.stages.blocks import safe_join
 
+    if how not in ("inner", "left_outer"):
+        # the small-side probe implements exactly these two; letting any
+        # other value through would silently run as left_outer here but as
+        # `how` verbatim on the safe_join fallback — semantics must not
+        # depend on which side of the size gate the input lands
+        raise ValueError(
+            f"broadcast_join: how must be 'inner' or 'left_outer', got {how!r}"
+        )
     right_key = right_key or key
     mat = right.materialize()
     n_right = mat.count()
@@ -210,29 +218,46 @@ def broadcast_join(
     value_tbl = tbl.drop_columns([right_key])
     ref = ray.put((keys_np, value_tbl))
 
+    # probe must read the broadcast pair through `ref` ONLY — naming the
+    # driver-side keys_np/value_tbl in the closure would serialize the whole
+    # dimension table with the function per task, defeating the ray.put
+    del keys_np, value_tbl, tbl, tables
+
     def probe(batch: pa.Table) -> pa.Table:
         rkeys, rvals = ray.get(ref)  # local zero-copy fetch after first call
-        lk = batch.column(key).combine_chunks().to_numpy(zero_copy_only=False)
-        if len(rkeys):
+        lk_col = batch.column(key).combine_chunks()
+        null_np = pc.is_null(lk_col).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if len(rkeys) and not pa.types.is_null(lk_col.type):
+            if null_np.any():
+                # searchsorted can't compare None against the key dtype
+                # (TypeError on strings); probe nulls with a valid sentinel
+                # and force them unmatched below — SQL null-key semantics
+                # (inner drops the row, left_outer keeps it with null values)
+                fv = rkeys[0]
+                lk_col = pc.fill_null(
+                    lk_col, fv.item() if hasattr(fv, "item") else fv
+                )
+            lk = lk_col.to_numpy(zero_copy_only=False)
             pos = np.searchsorted(rkeys, lk)
             pos_c = np.minimum(pos, len(rkeys) - 1)
-            matched = rkeys[pos_c] == lk
+            matched = (rkeys[pos_c] == lk) & ~null_np
         else:
-            pos_c = np.zeros(len(lk), dtype=np.int64)
-            matched = np.zeros(len(lk), dtype=bool)
+            pos_c = np.zeros(n, dtype=np.int64)
+            matched = np.zeros(n, dtype=bool)
         if how == "inner":
             out = batch.filter(pa.array(matched))
             idx = pa.array(pos_c[matched], pa.int64())
-            for name in value_tbl.column_names:
-                out = out.append_column(name, value_tbl.column(name).take(idx))
+            for name in rvals.column_names:
+                out = out.append_column(name, rvals.column(name).take(idx))
             return out
         # left_outer: attach values, null where unmatched
         out = batch
         idx = pa.array(pos_c, pa.int64())
         m = pa.array(matched)
-        for name in value_tbl.column_names:
-            col = value_tbl.column(name)
-            taken = col.take(idx) if len(rkeys) else pa.nulls(len(lk), col.type)
+        for name in rvals.column_names:
+            col = rvals.column(name)
+            taken = col.take(idx) if len(rkeys) else pa.nulls(n, col.type)
             out = out.append_column(
                 name, pc.if_else(m, taken, pa.scalar(None, col.type))
             )
