@@ -2278,27 +2278,29 @@ def q_doc_top_tfidf(sf_dir: str):
     SQL order identically."""
     import math
 
-    from collections import Counter
-
     import numpy as np
+    import pyarrow.compute as pc
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()
 
     def explode_tf(batch: pa.Table) -> pa.Table:
-        docs, terms, tfs = [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for term, tf in Counter((t or "").lower().split()).items():
-                docs.append(d)
-                terms.append(term)
-                tfs.append(tf)
+        # fully vectorized: lower → whitespace-split → flatten, parent
+        # indices recover each token's doc_id, and per-(doc, term) tf is one
+        # native Arrow group_by — no per-row Python in this corpus-scale map
+        # (the q_corpus_top_terms form extended with the doc key)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        flat = pc.list_flatten(toks)
+        doc_ids = pc.take(batch.column("doc_id"), pc.list_parent_indices(toks))
+        pairs = pa.table({"doc_id": doc_ids, "term": flat}).filter(
+            pc.not_equal(flat, "")  # split emits '' at string edges
+        )
+        g = pairs.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
         return pa.table(
             {
-                "doc_id": pa.array(docs, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
+                "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                "term": g.column("term"),
+                "tf": pc.cast(g.column("count_all"), pa.int64()),
             }
         )
 
