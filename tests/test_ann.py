@@ -148,6 +148,57 @@ class TestPersistedIVF:
         out = ivf_query(idx_dir, q, k=10, n_probe=4).to_pandas()
         assert len(out) == 10
 
+    def test_index_if_valid_probe(self, ray_session, tmp_path):
+        """ivf_index_if_valid is a pure existence+stamp probe: False when
+        absent or stale, True after a matching build — and it never builds."""
+        import os
+        import ray.data as rd
+
+        from vigil_ray.stages.ann import ivf_build, ivf_index_if_valid
+
+        idx_dir = str(tmp_path / "ivf")
+        assert not ivf_index_if_valid(idx_dir, "fp_v1")
+        assert not os.path.exists(idx_dir)  # probing must not create anything
+        sf = "/root/testdata/sf0.001"
+        ivf_build(
+            rd.read_parquet(f"{sf}/embeddings.parquet"), idx_dir,
+            n_cells=8, fingerprint="fp_v1",
+        )
+        assert ivf_index_if_valid(idx_dir, "fp_v1")
+        assert not ivf_index_if_valid(idx_dir, "fp_v2")  # stale stamp
+
+    def test_q_ann_ivf_top10_routes_through_persisted_index(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Routing contract: cold (no valid index) serves via the in-flight
+        scan WITHOUT building; once a persisted index exists for the corpus
+        fingerprint, the same query reads through ivf_query instead."""
+        import vigil_ray.queries as Q
+        import vigil_ray.stages.ann as ann
+
+        sf = "/root/testdata/sf0.001"
+        monkeypatch.setattr(Q, "_ivf_index_dir", lambda _sf: str(tmp_path / "ivf"))
+        calls = []
+        real_topk, real_query = ann.ivf_topk, ann.ivf_query
+
+        monkeypatch.setattr(
+            ann, "ivf_topk",
+            lambda *a, **k: (calls.append("cold"), real_topk(*a, **k))[1],
+        )
+        monkeypatch.setattr(
+            ann, "ivf_query",
+            lambda *a, **k: (calls.append("warm"), real_query(*a, **k))[1],
+        )
+        out = Q.q_ann_ivf_top10(sf).to_pandas()
+        assert calls == ["cold"] and bool(out["recall_ok"][0])
+        import os
+
+        assert not os.path.exists(str(tmp_path / "ivf"))  # cold path: no build
+        Q._persisted_ivf(sf)  # the indexing job (uses the patched dir)
+        calls.clear()
+        out2 = Q.q_ann_ivf_top10(sf).to_pandas()
+        assert calls == ["warm"] and bool(out2["recall_ok"][0])
+
     def test_query_raises_when_no_cells(self, ray_session, tmp_path):
         import numpy as np
         import os

@@ -1340,39 +1340,61 @@ def _ann_recall_table(approx_ds, sf_dir: str, k: int = 10, bound: float = 0.7):
 
 
 
-def _persisted_ivf(sf_dir: str):
-    """Build-or-reuse the persisted IVF index for ``sf_dir``; returns
-    ``(index_dir, n_cells, n_probe)``. The ``_v3`` cache-version suffix
-    lives ONLY here — bump it in one place when the index layout or kmeans
-    seed changes, so no query can silently serve a stale cached index."""
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Canonical persisted-index location for ``sf_dir``. The ``_v3``
+    cache-version suffix lives ONLY here — bump it in one place when the
+    index layout or kmeans seed changes, so no query can silently serve a
+    stale cached index."""
     import os
 
+    return f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
+
+
+def _persisted_ivf(sf_dir: str):
+    """Build-or-reuse the persisted IVF index for ``sf_dir``; returns
+    ``(index_dir, n_cells, n_probe)``."""
     from vigil_ray.sources.readers import read_table
     from vigil_ray.stages.ann import data_fingerprint, ivf_build
 
     src = f"{sf_dir}/embeddings.parquet"
     ds = read_table(src)
     n_cells, n_probe = _ivf_params(ds.count())
-    index_dir = f"/tmp/vigil_ivf/{os.path.basename(os.path.normpath(sf_dir))}_v3"
+    index_dir = _ivf_index_dir(sf_dir)
     ivf_build(ds, index_dir, n_cells=n_cells, fingerprint=data_fingerprint(src))
     return index_dir, n_cells, n_probe
 
 
 def q_ann_ivf_top10(sf_dir: str):
-    """IVF approximate top-k, in-flight (training-free) variant
-    (``stages.ann.ivf_topk``): assignment recomputed per scan — the fallback
-    when no persisted index exists. Approximate, so the driver-visible check
-    is the recall@10-vs-brute-force bound computed in-query (1-row table);
-    the raw recall value is additionally pinned in tests/test_ann.py."""
+    """IVF approximate top-k with persisted-index routing: when a
+    fingerprint-valid persisted index already exists for this corpus
+    (``stages.ann.ivf_index_if_valid`` — no build is triggered here), the
+    query reads ONLY the probed cells' partition files through
+    ``ivf_query``; otherwise it serves cold through the in-flight
+    training-free scan (``stages.ann.ivf_topk``), which prunes compute but
+    not IO — the explicit cold-start fallback, never the steady state (the
+    reference's load-once-score-many discipline, detector.py:66-67).
+    Approximate, so the driver-visible check is the recall@10-vs-brute-force
+    bound computed in-query (1-row table); the raw recall value and the
+    routing decision itself are additionally pinned in tests/test_ann.py."""
     from vigil_ray.sources.readers import read_table
-    from vigil_ray.stages.ann import ivf_topk
+    from vigil_ray.stages.ann import (
+        data_fingerprint,
+        ivf_index_if_valid,
+        ivf_query,
+        ivf_topk,
+    )
 
-    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    src = f"{sf_dir}/embeddings.parquet"
+    ds = read_table(src, columns=["vec_id", "embedding"])
     n_cells, n_probe = _ivf_params(ds.count())
-    approx = ivf_topk(
-        ds, _ann_query_vec(sf_dir), k=10, n_cells=n_cells, n_probe=n_probe
-    ).select_columns(["vec_id"])
-    return _ann_recall_table(approx, sf_dir)
+    index_dir = _ivf_index_dir(sf_dir)
+    if ivf_index_if_valid(index_dir, data_fingerprint(src)):
+        approx = ivf_query(index_dir, _ann_query_vec(sf_dir), k=10, n_probe=n_probe)
+    else:
+        approx = ivf_topk(
+            ds, _ann_query_vec(sf_dir), k=10, n_cells=n_cells, n_probe=n_probe
+        )
+    return _ann_recall_table(approx.select_columns(["vec_id"]), sf_dir)
 
 
 def q_ann_ivf_persisted_top10(sf_dir: str):

@@ -139,6 +139,21 @@ def data_fingerprint(*paths: str) -> str:
     return "|".join(parts)
 
 
+def ivf_index_if_valid(index_dir: str, fingerprint: str) -> bool:
+    """True iff a COMPLETED persisted IVF build exists at ``index_dir`` whose
+    embedded source stamp matches ``fingerprint`` — the cheap existence probe
+    that lets a query route through the persisted index without triggering a
+    build (the load-once-score-many discipline: build cost is paid by the
+    indexing job, lookups only ever reuse)."""
+    import os
+
+    done = os.path.join(index_dir, "_DONE")
+    if not os.path.exists(done):
+        return False
+    with open(done) as f:
+        return f.read() == fingerprint
+
+
 def ivf_build(
     ds,
     index_dir: str,
