@@ -139,6 +139,62 @@ def test_ner_stage_in_pipeline():
     assert out["contem_pii"].tolist() == [True, False]
 
 
+class TestRealTransformerNer:
+    """Deployment validation: runs ONLY where `transformers` is installed
+    (skipped in this sandbox). One command on a real deployment:
+
+        python -m pytest tests/test_ner.py -k RealTransformer -q
+
+    Asserts the reference NER semantics (src/detector.py:69-106,181-221)
+    against the live whitelisted model (constants.py:16)."""
+
+    @pytest.fixture(scope="class")
+    def real_detector(self):
+        pytest.importorskip("transformers")
+        from vigil_ray.stages.ner import load_ner_pipeline
+
+        try:
+            load_ner_pipeline(DEFAULT_NER_MODEL)
+        except Exception as exc:  # offline / no weights cached
+            pytest.skip(f"real NER model unavailable: {exc}")
+        det = NerNameDetector(PipelineConfig(use_ner=True, ner_model=DEFAULT_NER_MODEL))
+        assert det.model_ran, "whitelisted model must load on a transformers host"
+        return det
+
+    def test_real_model_finds_person_names(self, real_detector):
+        out = real_detector(
+            _batch(["O processo foi assinado por Maria Souza Oliveira em Brasília."])
+        )
+        nomes = out.column("nomes_detectados")[0].as_py()
+        assert any("Maria" in n for n in nomes), nomes
+        # PER-label filter: a pure-location sentence yields no names
+        out2 = real_detector(_batch(["A reunião ocorreu em São Paulo e no Rio de Janeiro."]))
+        assert out2.column("nomes_detectados")[0].as_py() == []
+
+    def test_real_model_scores_in_unit_interval(self, real_detector):
+        # real aggregation_strategy='simple' emits scores; the 0.8 default
+        # only fires for score-less entities (reference detector.py:210)
+        out = real_detector(_batch(["Contrato celebrado com João Pereira dos Santos."]))
+        conf = out.column("confianca")[0].as_py()
+        assert 0.0 < conf <= 1.0
+
+    def test_real_host_still_enforces_whitelist(self):
+        pytest.importorskip("transformers")
+        det = NerNameDetector(PipelineConfig(use_ner=True, ner_model="evil/model"))
+        assert det.model is None and not det.model_ran
+
+    def test_real_host_inference_error_falls_back(self, real_detector):
+        # simulate a runtime inference failure on a loaded real model: the
+        # per-text heuristic fallback must fire (reference detector.py:217-221)
+        broken = NerNameDetector(
+            PipelineConfig(use_ner=True),
+            model_factory=lambda m: (_ for _ in ()).throw(RuntimeError),
+        )
+        assert broken.model is None
+        out = broken(_batch(["meu nome é João da Silva Pereira, obrigado"]))
+        assert out.column("nomes_detectados")[0].as_py() == ["João da Silva Pereira"]
+
+
 class TestBooleans:
     def test_scalar(self):
         from vigil_ray.functions.booleans import normalize_boolean
