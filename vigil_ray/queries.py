@@ -1877,47 +1877,40 @@ def q_user_order_reconcile(sf_dir: str):
     per-key aggregates (user ids seen in the event stream vs custkeys seen in
     orders): the snapshot-merge shape for reconciling two ID catalogs where
     EACH side holds keys the other lacks (crawl frontier vs index manifest).
-    Ray shape: map-side ``value_counts`` partials per side (each shuffle
-    carries one row per distinct key, never the fact stream) →
-    ``sorted_group_sum`` exact merges → ``safe_join`` full_outer (both inputs
-    aggregate-derived, so both go through the block-compaction valve; Ray's
-    full_outer coalesces same-named key columns) → vectorized null→0 fill."""
+    Ray shape: map-side ``value_counts`` partials per side with the OTHER
+    side's count column zero-filled (each shuffle row is one distinct key,
+    never the fact stream) → ``union`` → ONE ``sorted_group_sum`` over both
+    count columns. The full-outer semantics fall out of the union — a key
+    missing from a side simply contributes no partial there, so its count
+    sums to the zero fills — replacing the Ray ``Join`` operator (~1.7 s
+    fixed machinery at sf0.1, measured in BASELINE.md round-4 notes) with
+    the engine's cheapest exchange: a single sort of key-distinct partials."""
+    import numpy as np
     import pyarrow.compute as pc
 
     from vigil_ray.sources.readers import read_table
-    from vigil_ray.stages.blocks import safe_join
     from vigil_ray.stages.corpus import sorted_group_sum
 
-    def keyed_counts(path: str, key: str, out_name: str):
+    def keyed_partials(path: str, key: str, mine: str):
         ds = read_table(path, columns=[key])
 
         def partial(batch: pa.Table) -> pa.Table:
             vc = pc.value_counts(batch.column(key).combine_chunks())
+            counts = pc.cast(vc.field("counts"), pa.int64())
+            zeros = pa.array(np.zeros(len(vc), np.int64))
+            cols = {
+                "n_events": counts if mine == "n_events" else zeros,
+                "n_orders": counts if mine == "n_orders" else zeros,
+            }
             return pa.table(
-                {
-                    "k": vc.field("values"),
-                    out_name: pc.cast(vc.field("counts"), pa.int64()),
-                }
+                {"k": vc.field("values"), "n_events": cols["n_events"], "n_orders": cols["n_orders"]}
             )
 
-        return sorted_group_sum(
-            ds.map_batches(partial, batch_format="pyarrow"), ["k"], [out_name]
-        )
+        return ds.map_batches(partial, batch_format="pyarrow")
 
-    ev = keyed_counts(f"{sf_dir}/events.parquet", "user_id", "n_events")
-    od = keyed_counts(f"{sf_dir}/orders.parquet", "o_custkey", "n_orders")
-    joined = safe_join(ev, od, "full_outer", num_partitions=8, on=("k",))
-
-    def fill(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "k": batch.column("k"),
-                "n_events": pc.fill_null(batch.column("n_events"), 0),
-                "n_orders": pc.fill_null(batch.column("n_orders"), 0),
-            }
-        )
-
-    return joined.map_batches(fill, batch_format="pyarrow")
+    ev = keyed_partials(f"{sf_dir}/events.parquet", "user_id", "n_events")
+    od = keyed_partials(f"{sf_dir}/orders.parquet", "o_custkey", "n_orders")
+    return sorted_group_sum(ev.union(od), ["k"], ["n_events", "n_orders"])
 
 
 def q_events_cohort_retention(sf_dir: str):
