@@ -540,14 +540,18 @@ def q_events_decayed_user_score(sf_dir: str):
     (≤ 16 + 5 + 20 bits < 53), so ANY summation order — the engine's
     vectorized dot product, the oracle's SQL ``SUM`` — yields the
     bit-identical float: an exactly-checked decayed aggregate. Ray shape:
-    collect-TRUNCATE accumulator (the ``top3_docs_per_lang`` shape) — the
-    shuffle carries ≤ 20 all-int (ts_us, cents) pairs per (block, user),
-    never a user's history."""
+    scan-rank → filter → scaled-int dyadic sum — recency rank via
+    ``grouped_prefix_scan`` (no per-key collected state: a user spanning
+    the corpus streams through in block-sized pieces), then each kept row
+    becomes the INTEGER ``cents << (K - rank)`` and one ``sorted_group_sum``
+    finishes; ``score = int_sum · 2^-K`` reconstructs the float exactly.
+    The shuffle carries (user, ts, cents) int rows only; the second sort
+    sees ≤ K rows per user."""
     import numpy as np
-
-    from ray.data.aggregate import AggregateFn
+    import pyarrow.compute as pc
 
     from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.corpus import grouped_prefix_scan, sorted_group_sum
 
     K = 20
 
@@ -557,54 +561,48 @@ def q_events_decayed_user_score(sf_dir: str):
         v = batch.column("value").to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
         ts_us = batch.column("ts").cast(pa.int64())
+        neg_ts = pc.negate(ts_us)  # ascending neg_ts = descending ts
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "ts_us": ts_us,
+                "neg_ts": neg_ts,
                 "cents": pa.array(cents, pa.int64()),
             }
         )
 
     rows = ev.map_batches(enc, batch_format="pyarrow")
+    # cum_excl = 0-based recency rank ((user, ts) is row-unique in events)
+    ranked = grouped_prefix_scan(rows, ["user_id"], ["neg_ts"])
+    kept = ranked.filter(expr=f"cum_excl < {K}")
 
-    def _topk(pairs: list) -> list:
-        # most-recent first; (user, ts) pairs are unique in the event log
-        return sorted(pairs, key=lambda t: -t[0])[:K]
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: _topk(a + b),
-        name="recent",
-        accumulate_block=lambda acc, block: _topk(
-            acc
-            + list(
-                zip(
-                    block.column("ts_us").to_pylist(),
-                    block.column("cents").to_pylist(),
-                )
-            )
-        ),
-    )
-    per_user = rows.groupby("user_id").aggregate(collect)
-
-    def score(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_pylist()
-        recents = batch.column("recent").to_pylist()
-        out = np.empty(len(users), np.float64)
-        w = np.ldexp(1.0, -np.arange(1, K + 1))  # exact 0.5^rank
-        for i, pairs in enumerate(recents):
-            # merge/accumulate keep 'recent' sorted most-recent-first and
-            # truncated to K; Arrow list round-trips preserve element order
-            c = np.asarray([p[1] for p in pairs], np.float64)
-            out[i] = float(np.dot(c, w[: len(c)]))
+    def scale(batch: pa.Table) -> pa.Table:
+        # cents·0.5^rank scaled by 2^K: cents << (K-1-cum_excl); cents
+        # ≤17 bits + shift ≤19 + 20 terms < 63 bits — int64- and
+        # double-exact, so any summation order bit-agrees with the oracle
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        rank0 = batch.column("cum_excl").to_numpy(zero_copy_only=False)
+        scaled = np.left_shift(cents, (K - 1 - rank0).astype(np.int64))
         return pa.table(
             {
-                "user_id": pa.array(users, pa.int64()),
-                "score": pa.array(out, pa.float64()),
+                "user_id": batch.column("user_id"),
+                "scaled": pa.array(scaled, pa.int64()),
             }
         )
 
-    return per_user.map_batches(score, batch_format="pyarrow")
+    sums = sorted_group_sum(
+        kept.map_batches(scale, batch_format="pyarrow"), ["user_id"], ["scaled"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("scaled").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "score": pa.array(np.ldexp(s.astype(np.float64), -K)),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
 
 
 _TAIL_DF_THRESHOLD = 10  # tails on >= this many pages are template tails
