@@ -1947,13 +1947,15 @@ def q_events_cohort_retention(sf_dir: str):
     def with_one(batch: pa.Table) -> pa.Table:
         return batch.append_column("one", pa.array(np.ones(batch.num_rows, np.int64)))
 
+    # pinned: consumed twice (cohort min + join left). Distinct (user, hour)
+    # pairs — activity-grid-sized, far below the event log, never the corpus
     pairs = sorted_group_sum(
         ds.map_batches(pair_partials, batch_format="pyarrow").map_batches(
             with_one, batch_format="pyarrow"
         ),
         ["user_id", "h"],
         ["one"],
-    )
+    ).materialize()
 
     cohort = sorted_group_min(pairs.select_columns(["user_id", "h"]), ["user_id"], ["h"])
     cohort = cohort.map_batches(

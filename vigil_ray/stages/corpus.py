@@ -1414,6 +1414,9 @@ def bloom_build(keys_ds, key_col: str, m_bits: int = 1 << 20) -> np.ndarray:
     return bitmap
 
 
+_MAX_CONFIRM_BROADCAST = 2_000_000  # sliver keys above this fall back to Join
+
+
 def bloom_anti_join(
     ds,
     keys_ds,
@@ -1428,10 +1431,16 @@ def bloom_anti_join(
     slots) is broadcast once via ``ray.put``. Rows whose bits miss are
     DEFINITELY clean and stream straight through — no shuffle. Only the
     bloom-positive sliver (true members + ~(1-e^{-kn/m})^k false positives)
-    pays the exact ``left_anti`` hash join against the blocklist Dataset.
-    With a 1% FP rate, 99% of a clean corpus never enters the join exchange.
-    Build and probe are vectorized (:func:`vbloom_build` / :func:`vbloom_mask`
-    — polars xxhash + numpy bitmap ops, no per-row Python on the corpus).
+    pays the exact confirm, which is a BROADCAST SEMI, not a shuffle join:
+    the sliver's distinct keys broadcast once (``ray.put``, size-gated at
+    ``_MAX_CONFIRM_BROADCAST``), a shuffle-free ``pc.is_in`` scan of the
+    blocklist emits only the intersection (≤ sliver-sized), and that
+    confirmed set broadcasts back to filter the sliver — the Ray ``Join``
+    operator's fixed per-run cost (~1.7 s measured at sf0.1) and its
+    blocklist shuffle are both avoided. A sliver wider than the gate falls
+    back to the exact ``left_anti`` hash join. Build and probe are
+    vectorized (:func:`vbloom_build` / :func:`vbloom_mask` — polars xxhash
+    + numpy bitmap ops, no per-row Python on the corpus).
     """
     import ray
 
@@ -1461,6 +1470,59 @@ def bloom_anti_join(
     flagged = ds.map_batches(flag, batch_format="pyarrow").materialize()
     clean = flagged.map_batches(_take(False), batch_format="pyarrow")
     candidates = flagged.map_batches(_take(True), batch_format="pyarrow")
+
+    import pyarrow.compute as pc
+
+    # sliver-sized driver reduce: distinct bloom-positive keys per batch,
+    # concatenated + uniqued on the driver (bounded by the gate)
+    cand_uniq = candidates.map_batches(
+        lambda b: pa.table({key_col: pc.unique(b.column(key_col))}),
+        batch_format="pyarrow",
+    )
+    chunks = [
+        b.column(key_col)
+        for b in cand_uniq.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    cand_keys = (
+        pc.unique(pa.chunked_array(chunks).combine_chunks()) if chunks else None
+    )
+    if cand_keys is None or len(cand_keys) == 0:
+        return clean  # no bloom hits: nothing to confirm
+
+    if len(cand_keys) <= _MAX_CONFIRM_BROADCAST:
+        kref = ray.put(cand_keys)
+
+        def hist_match(batch: pa.Table) -> pa.Table:
+            ks = batch.column(blocklist_col)
+            m = pc.is_in(ks, value_set=ray.get(kref))
+            return pa.table({blocklist_col: pc.unique(ks.filter(m))})
+
+        mchunks = [
+            b.column(blocklist_col)
+            for b in keys_ds.map_batches(
+                hist_match, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        confirmed = (
+            pc.unique(pa.chunked_array(mchunks).combine_chunks())
+            if mchunks
+            else None
+        )
+        if confirmed is None or len(confirmed) == 0:
+            return clean.union(candidates)  # every bloom hit was a false positive
+        cref = ray.put(confirmed)
+
+        def keep_unconfirmed(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column(key_col), value_set=ray.get(cref))
+            return batch.filter(pc.invert(m))
+
+        verified = candidates.map_batches(
+            keep_unconfirmed, batch_format="pyarrow"
+        )
+        return clean.union(verified)
+
     # candidates is filter-derived (0-row blocks where a block had no bloom
     # hits) — compact so the join's schema broadcast can't be lost (blocks.py)
     verified = compact_blocks(candidates).join(
