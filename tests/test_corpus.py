@@ -144,8 +144,9 @@ class TestBloomAntiJoin:
         assert len(out) == 300 - 3 * 6  # 6 rows per key
 
     def test_tiny_bloom_forces_fp_path_still_exact(self):
-        """With m_bits tiny every row is bloom-positive → the exact verify
-        join carries the result alone; output must be identical."""
+        """With m_bits tiny every row is bloom-positive → the exact confirm
+        (broadcast semi) carries the result alone; output must be identical,
+        including the rows that were pure Bloom false positives."""
         from vigil_ray.stages.corpus import bloom_anti_join
 
         rows = [{"k": i, "payload": i} for i in range(64)]
@@ -154,6 +155,47 @@ class TestBloomAntiJoin:
             _ds(rows), _ds(block), key_col="k", blocklist_col="b", m_bits=8
         ).to_pandas()
         assert set(out["k"]) == set(range(64)) - {1, 2}
+
+    def test_disjoint_keys_all_rows_survive(self):
+        """Disjoint key spaces: every row survives (exercises the
+        empty/near-empty sliver short-circuits — with a roomy bitmap most
+        blocks have zero bloom hits)."""
+        from vigil_ray.stages.corpus import bloom_anti_join
+
+        rows = [{"k": 1000 + i, "payload": i} for i in range(80)]
+        block = [{"b": v} for v in (1, 2, 3)]
+        out = bloom_anti_join(
+            _ds(rows), _ds(block), key_col="k", blocklist_col="b", m_bits=1 << 16
+        ).to_pandas()
+        assert sorted(out["k"]) == [1000 + i for i in range(80)]
+
+    def test_string_keys_with_duplicate_rows(self):
+        """String keys, duplicate ds rows per key, duplicate blocklist rows
+        (the delta-ingest fingerprint shape): every occurrence of a blocked
+        key drops, every occurrence of a clean key survives."""
+        from vigil_ray.stages.corpus import bloom_anti_join
+
+        rows = [{"k": f"fp_{i % 10}", "payload": i} for i in range(100)]
+        block = [{"b": "fp_3"}, {"b": "fp_7"}, {"b": "fp_3"}]
+        out = bloom_anti_join(
+            _ds(rows), _ds(block), key_col="k", blocklist_col="b", m_bits=1 << 12
+        ).to_pandas()
+        assert set(out["k"]) == {f"fp_{i}" for i in range(10)} - {"fp_3", "fp_7"}
+        assert len(out) == 80  # 10 occurrences per surviving key
+
+    def test_oversized_sliver_join_fallback(self, monkeypatch):
+        """Force the >_MAX_CONFIRM_BROADCAST gate so the left_anti Join
+        fallback runs; semantics must match the broadcast-semi path."""
+        import vigil_ray.stages.corpus as corpus_mod
+
+        monkeypatch.setattr(corpus_mod, "_MAX_CONFIRM_BROADCAST", 1)
+        rows = [{"k": i % 50, "payload": i} for i in range(300)]
+        block = [{"b": v} for v in (3, 17, 42)]
+        out = corpus_mod.bloom_anti_join(
+            _ds(rows), _ds(block), key_col="k", blocklist_col="b", m_bits=1 << 12
+        ).to_pandas()
+        assert set(out["k"]) == set(range(50)) - {3, 17, 42}
+        assert len(out) == 300 - 3 * 6
 
 
 @pytest.mark.usefixtures("ray_session")
