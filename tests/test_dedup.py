@@ -378,3 +378,61 @@ class TestBoundaryRunTruncationAccounting:
             "test_stage" in r.message and "40 member(s) dropped" in r.message
             for r in caplog.records
         ), [r.message for r in caplog.records]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAttachPairTexts:
+    def _fixture(self):
+        import ray.data as rd
+
+        corpus = rd.from_items(
+            [
+                {"vid": i, "text": f"document body number {i} " * 3}
+                for i in range(40)
+            ]
+            + [{"vid": 99, "text": None}]  # null text, id present
+        ).repartition(4)
+        pairs = rd.from_items(
+            [
+                {"a": 1, "b": 2},
+                {"a": 3, "b": 17},
+                {"a": 5, "b": 99},    # null-text side: kept, null attached
+                {"a": 7, "b": 1234},  # absent id: dropped (inner semantics)
+            ]
+        ).repartition(2)
+        return corpus, pairs
+
+    def _canon(self, df):
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    def test_broadcast_path_semantics(self):
+        from vigil_ray.stages.dedup import _attach_pair_texts
+
+        corpus, pairs = self._fixture()
+        out = self._canon(
+            _attach_pair_texts(pairs, corpus, "vid", "text").to_pandas()
+        )
+        assert list(out["a"]) == [1, 3, 5]
+        assert out.loc[0, "text_a"].startswith("document body number 1 ")
+        import pandas as pd
+
+        assert pd.isna(out.loc[2, "text_b"])  # id 99 present, text null → kept
+
+    def test_broadcast_equals_sortmerge_fallback(self, monkeypatch):
+        """The size-gated fast path and the bloom+sort-merge fallback must
+        be row-for-row identical (including the absent-id drop)."""
+        import pandas as pd
+
+        import vigil_ray.stages.dedup as dd
+
+        corpus, pairs = self._fixture()
+        fast = self._canon(
+            dd._attach_pair_texts(pairs, corpus, "vid", "text").to_pandas()
+        )
+        monkeypatch.setattr(dd, "_MAX_ATTACH_BROADCAST_IDS", 0)  # force fallback
+        slow = self._canon(
+            dd._attach_pair_texts(pairs, corpus, "vid", "text").to_pandas()
+        )
+        pd.testing.assert_frame_equal(
+            fast[sorted(fast.columns)], slow[sorted(slow.columns)]
+        )
