@@ -1473,25 +1473,37 @@ def bloom_anti_join(
 
     import pyarrow.compute as pc
 
-    # sliver-sized driver reduce: distinct bloom-positive keys per batch,
-    # concatenated + uniqued on the driver (bounded by the gate)
+    # sliver-sized driver reduce with EARLY ABORT: distinct bloom-positive
+    # keys per batch stream to the driver; the running per-batch-unique
+    # count (an upper bound on the distinct count) aborts to the Join
+    # fallback BEFORE more than the gate's worth of keys ever accumulates
+    # in driver memory — the gate bounds the collection, not just the
+    # broadcast
     cand_uniq = candidates.map_batches(
         lambda b: pa.table({key_col: pc.unique(b.column(key_col))}),
         batch_format="pyarrow",
     )
-    chunks = [
-        b.column(key_col)
-        for b in cand_uniq.iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    cand_keys = (
-        pc.unique(pa.chunked_array(chunks).combine_chunks()) if chunks else None
-    )
-    if cand_keys is None or len(cand_keys) == 0:
-        return clean  # no bloom hits: nothing to confirm
+    chunks, running, aborted = [], 0, False
+    for b in cand_uniq.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        chunks.append(b.column(key_col))
+        running += b.num_rows
+        if running > _MAX_CONFIRM_BROADCAST:
+            aborted = True
+            break
 
-    if len(cand_keys) <= _MAX_CONFIRM_BROADCAST:
-        kref = ray.put(cand_keys)
+    if not aborted:
+        if not chunks:
+            return clean  # no bloom hits: nothing to confirm
+        cand_keys = pc.unique(pa.chunked_array(chunks).combine_chunks())
+        # null keys never match a blocklist entry (SQL left_anti semantics,
+        # matching the Join fallback) — exclude them from the confirm set
+        # so null-key sliver rows always survive
+        nonnull_keys = pc.drop_null(cand_keys)
+        if len(nonnull_keys) == 0:
+            return clean.union(candidates)  # all bloom hits had null keys
+        kref = ray.put(nonnull_keys)
 
         def hist_match(batch: pa.Table) -> pa.Table:
             ks = batch.column(blocklist_col)
@@ -1506,7 +1518,7 @@ def bloom_anti_join(
             if b.num_rows
         ]
         confirmed = (
-            pc.unique(pa.chunked_array(mchunks).combine_chunks())
+            pc.drop_null(pc.unique(pa.chunked_array(mchunks).combine_chunks()))
             if mchunks
             else None
         )
@@ -1515,6 +1527,7 @@ def bloom_anti_join(
         cref = ray.put(confirmed)
 
         def keep_unconfirmed(batch: pa.Table) -> pa.Table:
+            # is_in(null, non-null set) = false → invert keeps null-key rows
             m = pc.is_in(batch.column(key_col), value_set=ray.get(cref))
             return batch.filter(pc.invert(m))
 

@@ -389,21 +389,29 @@ _MAX_ATTACH_BROADCAST_BYTES = 256 << 20
 def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
     """Size-gated broadcast-exact attach (see ``_attach_pair_texts``):
     returns the attached Dataset, or ``None`` when either gate trips and
-    the caller should fall back to the bloom + sort-merge path."""
+    the caller should fall back to the bloom + sort-merge path. Both gates
+    abort DURING driver collection (running per-batch-unique id count;
+    running Arrow ``nbytes`` of the text slice) — the driver never holds
+    more than one gate's worth of either. The broadcast payload is an
+    Arrow (id, text) table (zero-copy ``ray.get`` from plasma, unlike a
+    pickled dict), and the per-batch attach is vectorized ``index_in`` +
+    ``take``."""
     import ray
 
     import pyarrow.compute as pc
 
-    id_chunks = [
-        pc.unique(b.column("id"))
-        for b in cand.map_batches(explode_ids, batch_format="pyarrow")
-        .map_batches(
-            lambda b: pa.table({"id": pc.unique(b.column("id"))}),
-            batch_format="pyarrow",
-        )
-        .iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
+    id_chunks, running = [], 0
+    per_batch_uniq = cand.map_batches(explode_ids, batch_format="pyarrow").map_batches(
+        lambda b: pa.table({"id": pc.unique(b.column("id"))}),
+        batch_format="pyarrow",
+    )
+    for b in per_batch_uniq.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        id_chunks.append(b.column("id"))
+        running += b.num_rows
+        if running > _MAX_ATTACH_BROADCAST_IDS:
+            return None
     if not id_chunks:
         return cand.map_batches(  # no candidates: attach empty text columns
             lambda b: b.append_column(
@@ -411,9 +419,11 @@ def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
             ).append_column("text_b", pa.nulls(b.num_rows, pa.string())),
             batch_format="pyarrow",
         )
-    cand_ids = pc.unique(pa.chunked_array(id_chunks).combine_chunks())
-    if len(cand_ids) > _MAX_ATTACH_BROADCAST_IDS:
-        return None
+    # null pair ids drop below anyway (index_in(null) = null → filtered),
+    # matching the sort-merge inner merge; keep the lookup set non-null
+    cand_ids = pc.drop_null(
+        pc.unique(pa.chunked_array(id_chunks).combine_chunks())
+    )
     idref = ray.put(cand_ids)
 
     def slice_corpus(batch: pa.Table) -> pa.Table:
@@ -423,14 +433,14 @@ def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
             {"id": kept.column(id_col), "text": kept.column(text_col)}
         )
 
-    texts: dict = {}
-    n_bytes = 0
+    slices, n_bytes = [], 0
     for b in corpus.map_batches(slice_corpus, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        for i, t in zip(b.column("id").to_pylist(), b.column("text").to_pylist()):
-            texts[i] = t
-            n_bytes += len(t) if t is not None else 0
+        if not b.num_rows:
+            continue
+        slices.append(b)
+        n_bytes += b.nbytes
         if n_bytes > _MAX_ATTACH_BROADCAST_BYTES:
             import logging
 
@@ -440,22 +450,26 @@ def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
                 _MAX_ATTACH_BROADCAST_BYTES,
             )
             return None
-    tref = ray.put(texts)
+    if slices:
+        lookup = pa.concat_tables(slices).combine_chunks()
+    else:
+        lookup = pa.table(
+            {"id": cand_ids.slice(0, 0), "text": pa.array([], pa.string())}
+        )
+    tref = ray.put(lookup)
 
     def attach(batch: pa.Table) -> pa.Table:
-        d = ray.get(tref)
-        ids_a = batch.column("a").to_pylist()
-        ids_b = batch.column("b").to_pylist()
-        out = batch.append_column(
-            "text_a", pa.array([d.get(x) for x in ids_a], pa.string())
-        )
-        out = out.append_column(
-            "text_b", pa.array([d.get(x) for x in ids_b], pa.string())
-        )
+        t = ray.get(tref)  # Arrow table: zero-copy from the object store
+        ids = t.column("id").combine_chunks()
+        txt = t.column("text").combine_chunks()
+        ia = pc.index_in(batch.column("a"), value_set=ids)
+        ib = pc.index_in(batch.column("b"), value_set=ids)
+        out = batch.append_column("text_a", pc.take(txt, ia))
+        out = out.append_column("text_b", pc.take(txt, ib))
         # inner-join semantics: a pair whose id is ABSENT from the corpus
-        # drops (as the sort-merge inner merge drops it); an id present
-        # with a null text keeps the pair, null attached
-        keep = pa.array([a in d and b in d for a, b in zip(ids_a, ids_b)])
+        # (null index) drops, as the sort-merge inner merge drops it; an
+        # id present with a null text keeps the pair, null attached
+        keep = pc.and_(pc.is_valid(ia), pc.is_valid(ib))
         return out.filter(keep)
 
     return cand.map_batches(attach, batch_format="pyarrow")
@@ -516,11 +530,14 @@ def _attach_pair_texts(
 
     cand = cand.materialize()  # consumed twice: bloom build + both joins
 
-    broadcast_texts = _broadcast_attach_texts(
-        cand, corpus, id_col, text_col, explode_ids
-    )
-    if broadcast_texts is not None:
-        return broadcast_texts
+    # m_bits=0 is the caller's "candidate set outgrows any broadcast"
+    # signal — honor it for the fast path too, straight to sort-merge
+    if m_bits:
+        broadcast_texts = _broadcast_attach_texts(
+            cand, corpus, id_col, text_col, explode_ids
+        )
+        if broadcast_texts is not None:
+            return broadcast_texts
 
     if m_bits:
         import ray
