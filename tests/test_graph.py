@@ -17,15 +17,40 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in comp.take_all()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
-    def test_path_graph_converges_to_one_component(self):
+    def test_path_graph_converges_to_one_component(self, monkeypatch):
         """A length-10 chain needs ~5 propagation rounds — exercises the
-        iteration loop, not just the near-clique 1-round case."""
-        from vigil_ray.stages.graph import connected_components
+        DISTRIBUTED iteration loop (gate forced to 0), not just the
+        driver union-find fast path."""
+        import vigil_ray.stages.graph as graph_mod
 
-        comp = connected_components(_pairs([(i, i + 1) for i in range(9)]))
+        monkeypatch.setattr(graph_mod, "_MAX_DRIVER_CC_PAIRS", 0)
+        comp = graph_mod.connected_components(_pairs([(i, i + 1) for i in range(9)]))
         rows = comp.take_all()
         assert len(rows) == 10
         assert {r["component"] for r in rows} == {0}
+
+    def test_fast_path_equals_distributed(self, monkeypatch):
+        """The driver union-find fast path and the distributed min-label
+        loop must label identically (random-ish graph with chains, a
+        clique, and singleton pairs)."""
+        import vigil_ray.stages.graph as graph_mod
+
+        edges = (
+            [(i, i + 1) for i in range(0, 8)]
+            + [(20, 21), (21, 22), (20, 22)]
+            + [(30, 31), (40, 41)]
+            + [(50, 3)]
+        )
+        fast = {
+            r["node"]: r["component"]
+            for r in graph_mod.connected_components(_pairs(edges)).take_all()
+        }
+        monkeypatch.setattr(graph_mod, "_MAX_DRIVER_CC_PAIRS", 0)
+        dist = {
+            r["node"]: r["component"]
+            for r in graph_mod.connected_components(_pairs(edges)).take_all()
+        }
+        assert fast == dist
 
     def test_empty_pairs(self):
         from vigil_ray.stages.graph import connected_components
@@ -34,11 +59,14 @@ class TestConnectedComponents:
         comp = connected_components(empty)
         assert comp.count() == 0
 
-    def test_max_iters_guard_is_loud(self):
-        from vigil_ray.stages.graph import connected_components
+    def test_max_iters_guard_is_loud(self, monkeypatch):
+        import vigil_ray.stages.graph as graph_mod
 
+        monkeypatch.setattr(graph_mod, "_MAX_DRIVER_CC_PAIRS", 0)
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(_pairs([(i, i + 1) for i in range(9)]), max_iters=2)
+            graph_mod.connected_components(
+                _pairs([(i, i + 1) for i in range(9)]), max_iters=2
+            )
 
 
 @pytest.mark.usefixtures("ray_session")
