@@ -205,6 +205,10 @@ def run_bench() -> dict:
         "split_leakage",
         "docs_zorder",
         "dedup_prefix_filter_pairs",
+        "dedup_ngram_pairs",
+        "dedup_components",
+        "dedup_canonical",
+        "dedup_cluster_sizes",
     ]
     registry = query_registry()
     for name in secondary:
