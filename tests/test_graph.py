@@ -128,3 +128,54 @@ class TestPagerank:
         assert dict(zip(out["node"], out["rank_micro"])) == r
         # damped mass stays below the teleport+damping ceiling
         assert out["rank_micro"].sum() <= total
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnionFindProperty:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=25),
+                st.integers(min_value=0, max_value=25),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def test_fast_path_matches_reachability_closure(self, edges):
+        """Union-find fast path vs a naive transitive-closure reference:
+        every node labeled with the min id reachable from it (self-loops
+        and duplicate edges included in the strategy's range)."""
+        from vigil_ray.stages.graph import connected_components
+
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(_pairs(edges)).take_all()
+        }
+        # reference: iterate min-label to fixpoint over the adjacency
+        nodes = sorted({x for e in edges for x in e})
+        adj = {n: {n} for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        label = {n: n for n in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for n in nodes:
+                m = min(label[x] for x in adj[n])
+                if m < label[n]:
+                    label[n] = m
+                    changed = True
+        assert got == label
