@@ -183,6 +183,32 @@ class TestBloomAntiJoin:
         assert set(out["k"]) == {f"fp_{i}" for i in range(10)} - {"fp_3", "fp_7"}
         assert len(out) == 80  # 10 occurrences per surviving key
 
+    def test_mismatched_key_types_int32_vs_int64(self):
+        """An int32 corpus key against an int64 blocklist must behave like
+        the Join fallback would (coerce, not raise or mismatch) — the
+        broadcast sets are cast to each is_in probe column's type."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vigil_ray.stages.corpus import bloom_anti_join
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([i % 50 for i in range(300)], pa.int32()),
+                    "payload": pa.array(list(range(300)), pa.int64()),
+                }
+            )
+        )
+        block = rd.from_arrow(
+            pa.table({"b": pa.array([3, 17, 42], pa.int64())})
+        )
+        out = bloom_anti_join(
+            ds, block, key_col="k", blocklist_col="b", m_bits=1 << 12
+        ).to_pandas()
+        assert set(out["k"]) == set(range(50)) - {3, 17, 42}
+        assert len(out) == 300 - 3 * 6
+
     def test_oversized_sliver_join_fallback(self, monkeypatch):
         """Force the >_MAX_CONFIRM_BROADCAST gate so the left_anti Join
         fallback runs; semantics must match the broadcast-semi path."""

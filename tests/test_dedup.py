@@ -436,3 +436,30 @@ class TestAttachPairTexts:
         pd.testing.assert_frame_equal(
             fast[sorted(fast.columns)], slow[sorted(slow.columns)]
         )
+
+    def test_large_string_corpus_empty_slice_schema(self):
+        """An all-pairs-dropped attach over a large_string corpus must emit
+        text_a/text_b with the corpus text type (large_string), matching
+        what the sort-merge fallback would produce — not a hardcoded
+        string()."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vigil_ray.stages.dedup import _attach_pair_texts
+
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(["x", "y", "z"], pa.large_string()),
+                }
+            )
+        )
+        # every pair references absent ids → 0-row output via the
+        # empty-lookup branch
+        pairs = rd.from_items([{"a": 100, "b": 200}])
+        out = _attach_pair_texts(pairs, corpus, "vid", "text")
+        sch = out.schema()
+        assert out.count() == 0
+        assert dict(zip(sch.names, sch.types))["text_a"] == pa.large_string()
+        assert dict(zip(sch.names, sch.types))["text_b"] == pa.large_string()

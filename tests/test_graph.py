@@ -59,6 +59,27 @@ class TestConnectedComponents:
         comp = connected_components(empty)
         assert comp.count() == 0
 
+    def test_null_ids_and_mixed_types_fast_path(self):
+        """Null pair ids drop (no TypeError in the driver fold) and an
+        int32 a_col with an int64 b_col promotes to one int64 output type."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vigil_ray.stages.graph import connected_components
+
+        t = pa.table(
+            {
+                "a": pa.array([1, 2, None, 10], pa.int32()),
+                "b": pa.array([2, 3, 5, None], pa.int64()),
+            }
+        )
+        comp = connected_components(rd.from_arrow(t))
+        got = {r["node"]: r["component"] for r in comp.take_all()}
+        assert got == {1: 1, 2: 1, 3: 1}
+        sch = comp.schema()
+        assert sch.names == ["node", "component"]
+        assert sch.types == [pa.int64(), pa.int64()]
+
     def test_max_iters_guard_is_loud(self, monkeypatch):
         import vigil_ray.stages.graph as graph_mod
 

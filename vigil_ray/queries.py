@@ -4226,18 +4226,32 @@ def q_events_props_stats(sf_dir: str):
 
 def queries() -> Dict[str, Callable]:
     # Registry ORDER is deliberate: the external driver verifies roughly the
-    # first 50 entries per round, so the window leads with the queries that
-    # have never had a driver-green row (rounds 1-3 checked 67 distinct of
-    # 120), plus six anchors — the §2 correctness anchors (pages_pii_labels,
-    # pages_scrubbed, eval_confusion, review_items) and the two queries whose
-    # implementation changed this round (ann_ivf_top10, doc_top_tfidf) — so
-    # regressions in changed code surface externally. Positions 51-59 hold
-    # the never-checked queries whose semantics a checked sibling already
-    # pins (e.g. events_moving_sum vs events_sliding); everything after that
-    # was driver-green in r1-r3 and stays covered by the local two-scale
-    # oracle protocol (.claude/skills/verify).
+    # first 50 entries per round. Rounds 1-4 together produced driver-green
+    # rows for 111 of the 120 queries; the nine that have never had an
+    # external row lead the round-5 window so CORRECTNESS_r05 closes
+    # verification over all 120. The §2 correctness anchors
+    # (pages_pii_labels, pages_scrubbed, eval_confusion, review_items) stay
+    # in the window to catch regressions in the core PII path; the rest of
+    # the window re-checks the r4-green queries, and everything after
+    # position ~50 was driver-green in an earlier round and stays covered by
+    # the local two-scale oracle protocol (.claude/skills/verify).
     return {
-        # --- never driver-checked (r1-r3), most load-bearing first ---
+        # --- the last nine never-driver-verified queries (r1-r4) ---
+        "events_moving_sum": q_events_moving_sum,
+        "events_value_zscore": q_events_value_zscore,
+        "events_late_stats": q_events_late_stats,
+        "events_type_kmv": q_events_type_kmv,
+        "events_kmv_setops": q_events_kmv_setops,
+        "docs_length_decile": q_docs_length_decile,
+        "docs_rollup_stats": q_docs_rollup_stats,
+        "docs_sample_per_lang": q_docs_sample_per_lang,
+        "docs_hash_split": q_docs_hash_split,
+        # --- §2 anchors (driver-green r3+r4; re-checked every round) ---
+        "pages_pii_labels": q_pages_pii_labels,
+        "pages_scrubbed": q_pages_scrubbed,
+        "eval_confusion": q_eval_confusion,
+        "review_items": q_review_items,
+        # --- driver-green r4, re-checked for regressions ---
         "dedup_prefix_filter_pairs": q_dedup_prefix_filter_pairs,
         "doc_segment_dedup": q_doc_segment_dedup,
         "dedup_edit_distance": q_dedup_edit_distance,
@@ -4248,15 +4262,8 @@ def queries() -> Dict[str, Callable]:
         "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "corpus_top_terms": q_corpus_top_terms,
-        # changed this round — keep in the driver window
         "doc_top_tfidf": q_doc_top_tfidf,
         "ann_ivf_top10": q_ann_ivf_top10,
-        # §2 anchors (driver-green r3; re-checked to catch r4 regressions)
-        "pages_pii_labels": q_pages_pii_labels,
-        "pages_scrubbed": q_pages_scrubbed,
-        "eval_confusion": q_eval_confusion,
-        "review_items": q_review_items,
-        # --- never driver-checked, continued ---
         "pages_template_tails": q_pages_template_tails,
         "pages_boilerplate_scrub": q_pages_boilerplate_scrub,
         "events_watermark_windows": q_events_watermark_windows,
@@ -4291,16 +4298,6 @@ def queries() -> Dict[str, Callable]:
         "docs_snapshot_merge": q_docs_snapshot_merge,
         "embeddings_quantized": q_embeddings_quantized,
         "frontier_prep": q_frontier_prep,
-        # --- ~position 50: never-checked queries pinned by a checked sibling ---
-        "events_moving_sum": q_events_moving_sum,       # sibling: events_sliding ✓
-        "events_value_zscore": q_events_value_zscore,   # sibling: events_value_percent_rank ✓
-        "events_late_stats": q_events_late_stats,       # sibling: events_watermark_windows
-        "events_type_kmv": q_events_type_kmv,           # sibling: events_kmv_users ✓
-        "events_kmv_setops": q_events_kmv_setops,       # sibling: events_kmv_users ✓
-        "docs_length_decile": q_docs_length_decile,     # sibling: docs_top_decile_per_lang
-        "docs_rollup_stats": q_docs_rollup_stats,       # sibling: lang_doc_counts ✓
-        "docs_sample_per_lang": q_docs_sample_per_lang, # sibling: docs_weighted_sample
-        "docs_hash_split": q_docs_hash_split,           # sibling: corpus_prep_assignments
         # --- driver-green in r1-r3 ---
         "lang_doc_counts": q_lang_doc_counts,
         "doc_token_counts": q_doc_token_counts,

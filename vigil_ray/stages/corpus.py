@@ -36,6 +36,7 @@ grades. Every operator here is exactly SQL-checkable and wired into
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1414,7 +1415,11 @@ def bloom_build(keys_ds, key_col: str, m_bits: int = 1 << 20) -> np.ndarray:
     return bitmap
 
 
-_MAX_CONFIRM_BROADCAST = 2_000_000  # sliver keys above this fall back to Join
+# Bloom-positive sliver keys above this fall back to the left_anti Join
+# (the gate aborts DURING driver collection, bounding driver memory).
+_MAX_CONFIRM_BROADCAST = int(
+    os.environ.get("GRAFT_CONFIRM_BROADCAST_KEYS", 2_000_000)
+)
 
 
 def bloom_anti_join(
@@ -1503,7 +1508,25 @@ def bloom_anti_join(
         nonnull_keys = pc.drop_null(cand_keys)
         if len(nonnull_keys) == 0:
             return clean.union(candidates)  # all bloom hits had null keys
-        kref = ray.put(nonnull_keys)
+        # is_in requires probe and value_set types to agree; the Join
+        # fallback would coerce (int32 vs int64, string vs large_string),
+        # so cast the broadcast sets to each probe column's type — and on
+        # an un-coercible pair, abort to the Join rather than diverge
+        key_typ = nonnull_keys.type
+        _ksch = keys_ds.schema()
+        blk_typ = _ksch.types[_ksch.names.index(blocklist_col)]
+        try:
+            probe_keys = (
+                nonnull_keys
+                if key_typ.equals(blk_typ)
+                else nonnull_keys.cast(blk_typ)
+            )
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            probe_keys = None
+            aborted = True
+
+    if not aborted:
+        kref = ray.put(probe_keys)
 
         def hist_match(batch: pa.Table) -> pa.Table:
             ks = batch.column(blocklist_col)
@@ -1524,6 +1547,10 @@ def bloom_anti_join(
         )
         if confirmed is None or len(confirmed) == 0:
             return clean.union(candidates)  # every bloom hit was a false positive
+        # confirmed values are images of key_col values, so the cast back
+        # to the probe side's type is lossless
+        if not confirmed.type.equals(key_typ):
+            confirmed = confirmed.cast(key_typ)
         cref = ray.put(confirmed)
 
         def keep_unconfirmed(batch: pa.Table) -> pa.Table:

@@ -37,6 +37,7 @@ to the driver or broadcast.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -382,8 +383,16 @@ def _distinct_pairs(cand):
     )
 
 
-_MAX_ATTACH_BROADCAST_IDS = 500_000
-_MAX_ATTACH_BROADCAST_BYTES = 256 << 20
+# Size gates for the broadcast text-attach fast path; above either, the
+# sort-merge attach carries the pairs instead. On a cluster, size the byte
+# gate to worker heap (the lookup table is ray.put once and read
+# zero-copy by every attach task).
+_MAX_ATTACH_BROADCAST_IDS = int(
+    os.environ.get("GRAFT_ATTACH_BROADCAST_IDS", 500_000)
+)
+_MAX_ATTACH_BROADCAST_BYTES = int(
+    os.environ.get("GRAFT_ATTACH_BROADCAST_BYTES", 256 << 20)
+)
 
 
 def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
@@ -412,11 +421,16 @@ def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
         running += b.num_rows
         if running > _MAX_ATTACH_BROADCAST_IDS:
             return None
+    # text_a/text_b carry the corpus text column's exact Arrow type (e.g.
+    # large_string) so the 0-row/empty-slice branches match the sort-merge
+    # fallback's schema
+    _sch = corpus.schema()
+    text_typ = _sch.types[_sch.names.index(text_col)]
     if not id_chunks:
         return cand.map_batches(  # no candidates: attach empty text columns
             lambda b: b.append_column(
-                "text_a", pa.nulls(b.num_rows, pa.string())
-            ).append_column("text_b", pa.nulls(b.num_rows, pa.string())),
+                "text_a", pa.nulls(b.num_rows, text_typ)
+            ).append_column("text_b", pa.nulls(b.num_rows, text_typ)),
             batch_format="pyarrow",
         )
     # null pair ids drop below anyway (index_in(null) = null → filtered),
@@ -454,7 +468,7 @@ def _broadcast_attach_texts(cand, corpus, id_col, text_col, explode_ids):
         lookup = pa.concat_tables(slices).combine_chunks()
     else:
         lookup = pa.table(
-            {"id": cand_ids.slice(0, 0), "text": pa.array([], pa.string())}
+            {"id": cand_ids.slice(0, 0), "text": pa.array([], text_typ)}
         )
     tref = ray.put(lookup)
 

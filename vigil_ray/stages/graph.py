@@ -15,12 +15,18 @@ Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from vigil_ray.stages.blocks import compact_blocks
 
 
-_MAX_DRIVER_CC_PAIRS = 1_000_000  # pair sets under this fold on the driver
+# Pair sets at or under this fold on the driver (union-find fast path);
+# beyond it the distributed label-propagation loop runs. On a cluster with
+# a small driver, size this to driver memory (~100 bytes/pair of dict
+# machinery → 1M pairs ≈ 100 MB).
+_MAX_DRIVER_CC_PAIRS = int(os.environ.get("GRAFT_CC_DRIVER_PAIRS", 1_000_000))
 
 
 def _driver_union_find(pairs, a_col: str, b_col: str):
@@ -28,6 +34,7 @@ def _driver_union_find(pairs, a_col: str, b_col: str):
     one streamed pass over the pairs, then min-id per set. Exactly the
     min-label-propagation fixpoint, in one pass instead of
     diameter-many distributed rounds."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     parent: dict = {}
@@ -38,11 +45,19 @@ def _driver_union_find(pairs, a_col: str, b_col: str):
             x = parent[x]
         return x
 
-    typ = None
+    typ_a = typ_b = None
     for b in pairs.iter_batches(batch_format="pyarrow"):
         if not b.num_rows:
             continue
-        typ = typ or b.column(a_col).type
+        typ_a = typ_a or b.column(a_col).type
+        typ_b = typ_b or b.column(b_col).type
+        # null-id edges drop, matching the distributed path (a null never
+        # joins a label row, so it never receives or donates a component)
+        mask = pc.and_(
+            pc.is_valid(b.column(a_col)), pc.is_valid(b.column(b_col))
+        )
+        if not pc.all(mask).as_py():
+            b = b.filter(mask)
         for x, y in zip(
             b.column(a_col).to_pylist(), b.column(b_col).to_pylist()
         ):
@@ -59,7 +74,18 @@ def _driver_union_find(pairs, a_col: str, b_col: str):
             comp_min[r] = x
     nodes = sorted(parent)
     comps = [comp_min[find(x)] for x in nodes]
-    typ = typ or pa.int64()  # empty input: match the distributed schema
+    # unify the a/b column types so e.g. an int32 a_col with an int64 b_col
+    # yields one promoted output type (the distributed path's union of the
+    # two projections does the same promotion)
+    if typ_a is None:
+        typ = typ_b or pa.int64()  # empty input: match distributed schema
+    elif typ_b is None or typ_a.equals(typ_b):
+        typ = typ_a
+    else:
+        typ = pa.unify_schemas(
+            [pa.schema([("v", typ_a)]), pa.schema([("v", typ_b)])],
+            promote_options="permissive",
+        ).field("v").type
     return rd.from_arrow(
         pa.table(
             {"node": pa.array(nodes, typ), "component": pa.array(comps, typ)}
@@ -86,6 +112,12 @@ def connected_components(
     directly), so 2–3 rounds in practice. The documented assumption: a
     pathological chain of length k needs k rounds — ``max_iters`` guards
     loudly rather than silently stopping early.
+
+    Size gate: pair sets of at most ``_MAX_DRIVER_CC_PAIRS`` (default 1M;
+    env knob ``GRAFT_CC_DRIVER_PAIRS``) fold on the driver via union-find
+    in one streamed pass — on that fast path ``max_iters`` does NOT apply
+    (union-find has no iteration bound to hit); it bounds only the
+    distributed label-propagation loop used beyond the gate.
 
     Convergence certificate: labels are non-increasing per node, so the
     global label sum strictly decreases until fixpoint — one scalar
