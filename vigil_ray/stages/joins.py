@@ -92,32 +92,50 @@ def skew_join(
     def is_hot_right(batch: pa.Table) -> pa.Table:
         return batch.filter(_hot_set(batch.column(right_key).combine_chunks()))
 
-    hot_dim_rows = right.map_batches(is_hot_right, batch_format="pyarrow").take_all()
-    hot_dim = {r[right_key]: tuple(r[c] for c in right_cols) for r in hot_dim_rows}
-    hot_ref = ray.put(hot_dim)
-    right_types = {
-        n: t for n, t in zip(right.schema().names, right.schema().types)
-    }
+    # collect the hot dim slice as ARROW (take_all() row-dicts would lose the
+    # column types, and Dataset.schema().types yields numpy/python classes —
+    # not pa.DataType — for pandas-backed inputs, which broke join_hot's
+    # typed append under a from_pandas dimension)
+    _hot_tbls = [
+        t
+        for t in ray.get(
+            right.map_batches(is_hot_right, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows  # 0-row blocks can carry a degenerate empty schema
+    ]
+    hot_dim_tbl = pa.concat_tables(_hot_tbls) if _hot_tbls else None
 
     # --- 3a. map-side join for the hot fact rows --------------------------
     def hot_mask(batch: pa.Table) -> pa.Array:
         return _hot_set(batch.column(key).combine_chunks())
 
-    def join_hot(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(hot_mask(batch))
-        dim = ray.get(hot_ref)
-        ks = sub.column(key).to_pylist()
-        found = [k in dim for k in ks]
-        # explicit bool type: an empty list would infer arrow's null type
-        sub = sub.filter(pa.array(found, type=pa.bool_()))
-        vals = [dim[k] for k, f in zip(ks, found) if f]
-        for i, c in enumerate(right_cols):
-            sub = sub.append_column(
-                c, pa.array([v[i] for v in vals], right_types[c])
-            )
-        return sub
+    hot_joined = None
+    if hot_dim_tbl is not None:
+        _hot_keys = hot_dim_tbl.column(right_key).to_pylist()
+        _hot_cols = [hot_dim_tbl.column(c).to_pylist() for c in right_cols]
+        hot_dim = {
+            k: tuple(col[i] for col in _hot_cols) for i, k in enumerate(_hot_keys)
+        }
+        hot_ref = ray.put(hot_dim)
+        right_types = {c: hot_dim_tbl.schema.field(c).type for c in right_cols}
 
-    hot_joined = left.map_batches(join_hot, batch_format="pyarrow")
+        def join_hot(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(hot_mask(batch))
+            dim = ray.get(hot_ref)
+            ks = sub.column(key).to_pylist()
+            found = [k in dim for k in ks]
+            # explicit bool type: an empty list would infer arrow's null type
+            sub = sub.filter(pa.array(found, type=pa.bool_()))
+            vals = [dim[k] for k, f in zip(ks, found) if f]
+            for i, c in enumerate(right_cols):
+                sub = sub.append_column(
+                    c, pa.array([v[i] for v in vals], right_types[c])
+                )
+            return sub
+
+        hot_joined = left.map_batches(join_hot, batch_format="pyarrow")
+    # else: no hot key exists in the dimension — every hot fact row is
+    # dropped by inner-join semantics, so the cold branch alone is the join
 
     # --- 3b. ordinary hash join for the cold remainder --------------------
     def take_cold(batch: pa.Table) -> pa.Table:
@@ -144,6 +162,8 @@ def skew_join(
     # --- 4. union (explicit projection: the two branches must agree on
     # column order for the union to be well-formed) -------------------------
     out_cols = list(left.schema().names) + right_cols
+    if hot_joined is None:
+        return cold_joined.select_columns(out_cols)
     return hot_joined.select_columns(out_cols).union(
         cold_joined.select_columns(out_cols)
     )
