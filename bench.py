@@ -209,6 +209,16 @@ def run_bench() -> dict:
         "dedup_components",
         "dedup_canonical",
         "dedup_cluster_sizes",
+        # the nine round-5-rotated queries (no recorded cost class before r5)
+        "events_moving_sum",
+        "events_value_zscore",
+        "events_late_stats",
+        "events_type_kmv",
+        "events_kmv_setops",
+        "docs_length_decile",
+        "docs_rollup_stats",
+        "docs_sample_per_lang",
+        "docs_hash_split",
     ]
     registry = query_registry()
     for name in secondary:
