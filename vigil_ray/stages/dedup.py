@@ -980,6 +980,18 @@ def prefix_filter_pairs(
     the Bloom-semi-filtered lookup. The full shingle table is sorted
     exactly twice (attach, rank); every later sort sees only prefix rows
     or candidate pairs.
+
+    Partitioning assumption / scale ceiling (measured — BASELINE.md
+    "dedup-at-scale probe"): the two full-shingle sorts carry
+    corpus × distinct-shingles rows, and their footprint grows
+    super-linearly past ~10⁶ docs (59.8 GiB peak at 2M docs vs
+    minhash-LSH's 20.6 GiB on the identical input; both exact on the
+    constructed pair set). Beyond that scale, run this join WITHIN a
+    partition that already co-locates potential pairs — a hash
+    partition of normalized docs, an LSH band bucket, or a per-shard
+    delta — and reserve the global form for corpora whose shingle
+    table fits the cluster's aggregate sort budget. MinHash-LSH
+    (+ exact-Jaccard verify) is the measured corpus-global scale path.
     """
     from fractions import Fraction
 
