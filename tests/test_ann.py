@@ -97,6 +97,32 @@ class TestPersistedIVF:
         again = set(ivf_query(idx_dir, q, k=10, n_probe=4).to_pandas()["vec_id"])
         assert again == got
 
+    def test_build_compacts_cells(self, ray_session, tmp_path):
+        """Each cell partition holds 1-2 files regardless of how many write
+        tasks fed the build: the pre-write cell sort co-locates each cell's
+        rows (unsorted, every write-task × cell combination emits its own
+        tiny file and per-file open overhead erases the IO-pruning win —
+        measured in BASELINE.md's ANN scale probe)."""
+        import os
+        import ray.data as rd
+
+        from vigil_ray.stages.ann import ivf_build
+
+        sf = "/root/testdata/sf0.001"
+        idx_dir = str(tmp_path / "ivf")
+        # many input blocks → many write tasks without the sort
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet", override_num_blocks=16)
+        ivf_build(ds, idx_dir, n_cells=8)
+        cell_dirs = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+        assert cell_dirs
+        for d in cell_dirs:
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx_dir, d))
+                if f.endswith(".parquet")
+            ]
+            assert 1 <= len(files) <= 2, (d, files)
+
     def test_fingerprint_invalidates_stale_index(self, ray_session, tmp_path):
         """Regenerated source data (different fingerprint) forces a rebuild
         instead of silently serving the stale cached index."""
