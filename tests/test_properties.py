@@ -167,3 +167,152 @@ def test_digit_free_rg_keeps_fused_path_equal():
     res, scrub = analyze_document("RG--")
     assert res == detect_pii("RG--")
     assert res["contem_pii"] is True and scrub == "[RG]"
+
+
+# --- fast-gate ≡ regex-spec differentials -----------------------------------
+# The keyword gates (detector._CANDIDATE, patterns._CTX_FAMILIES,
+# names._ANY_CONTEXT) are evaluated as literal `in` probes over ONE
+# fold_for_keywords() copy instead of IGNORECASE alternation searches
+# (~30-60 µs/doc → ~2 µs/doc; they run on EVERY document). These tests pin
+# the fast path to the original compiled-regex spec, including the three
+# Unicode fold divergences (İ ı ſ) where str.lower() and re.IGNORECASE
+# disagree.
+
+import re as _re
+
+from vigil_ray.kernel.detector import _CANDIDATE
+from vigil_ray.kernel.preprocess import fold_for_keywords
+
+# texts biased to straddle the gate boundaries: keyword fragments, the three
+# divergent codepoints, digit lookalikes, and plain filler
+_GATEISH = st.lists(
+    st.sampled_from(
+        [
+            "nome", "NOME", "chamo", "cidad", "cİdad", "requerente",
+            "ſolicitante", "ſervidor", "funcİon", "cpf", "CPF", "portador",
+            "rg", "RG", "argh", "ergo", "İ", "ı", "ſ", "x", "ó", "…",
+            "q", "0", "①", "９", "²", "@", " ", "-", ".", "meu", "mİnha",
+            "sou", "moro", "rua", "CEP", "apt", "contato", "whatſ", "zap",
+            "fone", "cel", "reſido",
+        ]
+    ),
+    max_size=10,
+).map("".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_GATEISH)
+def test_could_have_pii_matches_candidate_spec(text):
+    assert could_have_pii(text) == (
+        bool(text) and _CANDIDATE.search(text) is not None
+    ), text
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTISH)
+def test_could_have_pii_matches_candidate_spec_arbitrary(text):
+    assert could_have_pii(text) == (
+        bool(text) and _CANDIDATE.search(text) is not None
+    ), text
+
+
+_CTX_GATE_SPECS = {
+    "contexto_1pessoa": _re.compile(r"meu|minha|sou|chamo|nome", _re.IGNORECASE),
+    "endereco": _re.compile(
+        r"moro|resido|residente|rua|avenida|quadra|conjunto|bloco|lote"
+        r"|apartamento|apt|CEP",
+        _re.IGNORECASE,
+    ),
+    "contato": _re.compile(r"contato|whats|zap|fone|telefone|cel", _re.IGNORECASE),
+}
+
+
+@settings(max_examples=400, deadline=None)
+@given(_GATEISH)
+def test_ctx_gate_words_match_regex_spec(text):
+    from vigil_ray.kernel.patterns import _CTX_FAMILIES
+
+    low = fold_for_keywords(text)
+    for tipo, _label, _conf, gate_words, _guards in _CTX_FAMILIES:
+        spec = _CTX_GATE_SPECS[tipo]
+        assert any(w in low for w in gate_words) == bool(spec.search(text)), (
+            tipo,
+            text,
+        )
+
+
+_NAMES_ANY_SPEC = _re.compile(
+    r"nome|chamo|CPF|portador|cidad|requerente|solicitante|servidor|funcion",
+    _re.IGNORECASE,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_GATEISH)
+def test_names_any_gate_matches_regex_spec(text):
+    from vigil_ray.kernel.names import _ANY_CONTEXT_WORDS
+
+    low = fold_for_keywords(text)
+    assert any(w in low for w in _ANY_CONTEXT_WORDS) == bool(
+        _NAMES_ANY_SPEC.search(text)
+    ), text
+
+
+@settings(max_examples=400, deadline=None)
+@given(_GATEISH)
+def test_names_template_gates_are_supersets(text):
+    """Each per-template literal gate must fire whenever its template can
+    match (gates are pure optimizations — any superset is sound; gate 1
+    deliberately weakens r'meu\\s+nome' to 'meu')."""
+    from vigil_ray.kernel.names import _STRONG_CONTEXTS
+
+    low = fold_for_keywords(text)
+    for gate_words, rx in _STRONG_CONTEXTS:
+        if rx.search(text):
+            assert any(w in low for w in gate_words), (rx.pattern, text)
+
+
+def test_fold_for_keywords_divergent_codepoints():
+    """The three enumerated str.lower()/re.IGNORECASE divergences."""
+    assert "cidad" in fold_for_keywords("cİdad")          # İ → i (multi-char lower)
+    assert "i" in fold_for_keywords("ı")                   # ı → i (Turkic fold)
+    assert "s" in fold_for_keywords("ſ")                   # ſ → s (long s)
+    assert fold_for_keywords("NOME é X") == "nome é x"
+
+
+# scan_document (the guarded hot path) vs the unguarded per-type wrappers:
+# the literal necessary-condition guards added to scan_document must never
+# change which matches are produced. The wrappers are independent (guard-free)
+# implementations of each layer, so any unsound guard shows up as a missing
+# detection here.
+_SCANISH = st.lists(
+    st.sampled_from(
+        [
+            "123.456.789-00", "123456789-00", "CPF: 12345678908",
+            "user@example.test", "(61) 99999-8888", "+55 11 98888-7777",
+            "61 99999 8888", "fone: 61 99999-8888", "whatſ: 61 99999 8888",
+            "RG: 12.345.678-9", "rG--", "123-45-6789",
+            "4111 1111 1111 1111", "SEI 00015-12345678/2026-01",
+            "NIS: 98765432165", "texto", "İ", "ı", "ſ", ".", "-", "(", "+",
+            "@", "tel", "cpf", "9",
+        ]
+    ),
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_SCANISH)
+def test_scan_layers_equal_unguarded_wrappers(text):
+    from vigil_ray.kernel import patterns as P
+
+    dets, _spans = P.scan_document(text)
+    by_tipo = {}
+    for d in dets:
+        by_tipo.setdefault(d.tipo, []).append(d)
+    assert by_tipo.get("cpf", []) == P.find_cpf(text), text
+    assert by_tipo.get("email", []) == P.find_email(text), text
+    assert by_tipo.get("telefone", []) == P.find_phone(text), text
+    assert by_tipo.get("rg", []) == P.find_rg(text), text
+    assert by_tipo.get("ssn", []) == P.find_ssn(text), text
+    assert by_tipo.get("cartao", []) == P.find_card(text), text

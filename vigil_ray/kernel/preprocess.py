@@ -36,3 +36,36 @@ def normalize_text(value: Optional[object]) -> str:
 def normalize_many(values: Iterable[Optional[object]]) -> List[str]:
     """Vector form used inside ``map_batches`` bodies."""
     return [normalize_text(v) for v in values]
+
+
+# --- exact keyword casefold -------------------------------------------------
+#
+# The detection gates (detector._CANDIDATE, patterns._CTX_FAMILIES,
+# names._ANY_CONTEXT) are boolean "does any keyword occur, case-insensitive"
+# prefilters. One IGNORECASE alternation `re.search` costs ~30-60 µs per
+# document; `keyword in text.lower()` is ~100× cheaper but NOT equivalent to
+# re.IGNORECASE on three codepoints (exhaustively enumerated over all of
+# Unicode, tests/test_properties.py (the fast-gate differentials)):
+#
+#   U+0130 İ  lower() = 'i'+U+0307 (the ONLY multi-char lower in Unicode) —
+#             the combining dot breaks keyword adjacency; re.I folds İ→i
+#   U+0131 ı  lower() = ı, but re.I folds ı→i (Turkic fold)
+#   U+017F ſ  lower() = ſ, but re.I folds ſ→s (long s)
+#
+# Folding those three exactly as re does makes `in` containment IDENTICAL to
+# re.IGNORECASE literal search for ASCII keywords. The rare-char probes keep
+# the common path at a single lower() call.
+
+_FOLD_PRE = {0x130: "i"}
+_FOLD_POST = {0x131: "i", 0x17F: "s"}
+
+
+def fold_for_keywords(text: str) -> str:
+    """lower() variant under which ``kw in folded`` ≡ ``re.search(kw, text,
+    re.IGNORECASE)`` for any ASCII-lowercase literal ``kw``."""
+    if "İ" in text:
+        text = text.translate(_FOLD_PRE)
+    low = text.lower()
+    if "ı" in low or "ſ" in low:
+        low = low.translate(_FOLD_POST)
+    return low
