@@ -192,3 +192,61 @@ class TestTextStats:
         assert char_shingles("abcdef", 5) == ["abcde", "bcdef"]
         assert word_ngrams("a b c d", 3) == ["a b c", "b c d"]
         assert char_shingles("", 5) == []
+
+
+class TestClassifyMaskDifferential:
+    """The merged token→language-bitmask table must reproduce the original
+    per-language set-scan algorithm exactly, including its tie-break (first
+    language in STOPWORDS order wins on equal hit counts)."""
+
+    @staticmethod
+    def _classify_reference(text):
+        from vigil_ray.kernel import langid as L
+
+        if not text:
+            return ("und", 0.0)
+        n_chars = len(text)
+        kana = len(L._KANA.findall(text))
+        cjk = len(L._CJK.findall(text))
+        cyr = len(L._CYRILLIC.findall(text))
+        if kana and (kana + cjk) / n_chars > 0.25:
+            return ("ja", round((kana + cjk) / n_chars, 4))
+        if cjk / n_chars > 0.25:
+            return ("zh", round(cjk / n_chars, 4))
+        if cyr / n_chars > 0.25:
+            return ("ru", round(cyr / n_chars, 4))
+        tokens = [t.lower() for t in L._WORD.findall(text)]
+        if not tokens:
+            return ("und", 0.0)
+        best_lang, best_hits = "und", 0
+        for lang, stops in L.STOPWORDS.items():
+            hits = sum(1 for t in tokens if t in stops)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        if best_hits == 0:
+            return ("und", 0.0)
+        return (best_lang, round(best_hits / len(tokens), 4))
+
+    def test_differential_on_mixed_samples(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel.langid import STOPWORDS, classify
+
+        shared = [w for w in ("de", "a", "la", "le", "e", "o", "un", "in")]
+        vocab = shared + sorted(
+            w for stops in STOPWORDS.values() for w in list(stops)[:12]
+        ) + ["xyzzy", "Текст", "русском", "言語", "中文", "かな", "9", "#"]
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), max_size=25).map(" ".join))
+        def check(text):
+            assert classify(text) == self._classify_reference(text), text
+
+        check()
+
+    def test_tie_break_first_language_wins(self):
+        from vigil_ray.kernel.langid import classify
+
+        # 'la' is an es AND fr stopword; one hit each way — es precedes fr
+        assert classify("la qwv")[0] == "es"
