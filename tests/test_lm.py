@@ -120,3 +120,62 @@ class TestPerGroupRank:
             (r["id"], r["rank"]) for r in per_group_rank(_ds(rows, 7), "g", "id").take_all()
         )
         assert a == b
+
+
+class TestSegmentScoringDifferential:
+    """The word-segment-memoized scoring path must be bit-identical to the
+    per-char scalar path: same lp sequence, same left-to-right float64 sum,
+    same rounding — including short words whose left context spans several
+    preceding words, repeated words hitting the segment memo, and the
+    trailing-space distinction for the last word."""
+
+    def test_differential_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel.perplexity import CharLM
+
+        lm = CharLM()
+
+        words = st.sampled_from(
+            ["a", "b", "ab", "the", "de", "governo", "x", "~~~", "çã", "İı"]
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(words, min_size=1, max_size=12).map(" ".join))
+        def check(text):
+            norm = " ".join(text.split()).lower()
+            if not norm:
+                return
+            assert lm._score_segments(norm) == lm._score_scalar(norm), norm
+
+        check()
+
+    def test_differential_arbitrary_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel.perplexity import CharLM
+
+        lm = CharLM()
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=120))
+        def check(text):
+            norm = " ".join(text.split()).lower()
+            if not norm:
+                return
+            assert lm._score_segments(norm) == lm._score_scalar(norm), repr(norm)
+
+        check()
+
+    def test_memo_cap_respected(self):
+        from vigil_ray.kernel.perplexity import CharLM
+
+        lm = CharLM()
+        lm._seg_memo_cap = 2
+        for w in ("alpha beta", "gamma delta", "epsilon zeta"):
+            lm.score(w)
+        assert len(lm._seg_memo) <= 2
+        # capped scorer still scores correctly (falls through to gram memo)
+        assert lm.score("eta theta") == lm._score_scalar("eta theta")

