@@ -295,6 +295,10 @@ _SCANISH = st.lists(
             "4111 1111 1111 1111", "SEI 00015-12345678/2026-01",
             "NIS: 98765432165", "texto", "İ", "ı", "ſ", ".", "-", "(", "+",
             "@", "tel", "cpf", "9",
+            # Unicode Nd digits: the \\d-class digit-count guard must count
+            # them (an ASCII-only count would unsoundly skip these scans)
+            "ＣＰＦ: ９９９９９９９９９９９", "４１１１ １１１１ １１１１ １１１１",
+            "９９ ９９９９９ ９９９９",
         ]
     ),
     max_size=8,

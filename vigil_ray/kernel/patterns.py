@@ -51,6 +51,7 @@ class Detection(NamedTuple):
 
 
 _DIGITS_ONLY = re.compile(r"\D")
+_DIGIT_RUNS = re.compile(r"\d+")
 
 # --- structured PII ---------------------------------------------------------
 RX_CPF_FMT = re.compile(r"\d{3}\.\d{3}\.\d{3}-\d{2}")
@@ -300,9 +301,15 @@ def scan_document(text):
     # fold_for_keywords() copy (exactly re.IGNORECASE-equivalent).
     has_hyphen = "-" in text
     low = fold_for_keywords(text)
+    # exact \d-class digit count (Unicode Nd, same class the patterns use):
+    # every CPF needs 11 digits, phones >=10 (the explicit per-match filter),
+    # SSN 9, card 13 — a text with fewer digits provably cannot match, and
+    # one \d+ run scan (~7 µs) skips the expensive card/phone scans on the
+    # mostly-digit-free majority of a web corpus
+    n_digits = sum(m.end() - m.start() for m in _DIGIT_RUNS.finditer(text))
 
     seen_cpf: set = set()
-    if has_hyphen:  # both CPF surface forms end in '-\d{2}'
+    if has_hyphen and n_digits >= 11:  # both CPF surface forms carry 11 digits
         cpf_layers = (
             ((RX_CPF_FMT, 0.95), (RX_CPF_PART, 0.90))
             if "." in text  # the formatted form also needs dots
@@ -318,7 +325,7 @@ def scan_document(text):
                 if key not in seen_cpf:
                     detections.append(d)
                     seen_cpf.add(key)
-    if "cpf" in low:
+    if n_digits >= 11 and "cpf" in low:
         for m in RX_CPF_NUM.finditer(text):
             if _in_not_cpf_window(text, m.start()):
                 continue
@@ -333,11 +340,12 @@ def scan_document(text):
             detections.append(d)
 
     seen_phone: set = set()
+    phone_possible = n_digits >= 10  # the per-match filter needs 10 digits
     for rx, conf, hit in (
-        (RX_PHONE_PAREN, 0.95, "(" in text),
-        (RX_PHONE_INTL, 0.95, "+" in text),
-        (RX_PHONE_CTX, 0.90, any(w in low for w in _PHONE_CTX_WORDS)),
-        (RX_PHONE_BARE, 0.80, True),
+        (RX_PHONE_PAREN, 0.95, phone_possible and "(" in text),
+        (RX_PHONE_INTL, 0.95, phone_possible and "+" in text),
+        (RX_PHONE_CTX, 0.90, phone_possible and any(w in low for w in _PHONE_CTX_WORDS)),
+        (RX_PHONE_BARE, 0.80, phone_possible),
     ):
         if not hit:
             continue
@@ -359,13 +367,15 @@ def scan_document(text):
 
     # north-star extension layers, appended after the reference's fixed order
     # so first-appearance type ordering is unchanged for reference inputs
-    if has_hyphen:
+    if has_hyphen and n_digits >= 9:
         for m in RX_SSN.finditer(text):
             d = Detection("ssn", m.group(), 0.95, m.start(), m.end())
             spans.append(d)
             detections.append(d)
 
     seen_card: set = set()
+    if n_digits < 13:
+        return detections, spans
     for m in RX_CARD.finditer(text):
         if not _card_accept(text, m):
             continue
