@@ -267,9 +267,68 @@ def test_names_template_gates_are_supersets(text):
     from vigil_ray.kernel.names import _STRONG_CONTEXTS
 
     low = fold_for_keywords(text)
-    for gate_words, rx in _STRONG_CONTEXTS:
+    for gate_words, rx, pre in _STRONG_CONTEXTS:
         if rx.search(text):
             assert any(w in low for w in gate_words), (rx.pattern, text)
+            if pre is not None:
+                assert pre(low), (rx.pattern, text)
+
+
+# texts biased at the tail-keyword prefilter's boundary: names (valid and
+# not), the [,\s]+ separator run in several widths/characters, keyword case
+# variants, the divergent codepoints, and keyword occurrences with NO name
+# before them (the prefilter's reject side)
+_TAILISH = st.lists(
+    st.sampled_from(
+        [
+            "Maria Silva", "João de Souza", "ana", "X", "á", "KK",
+            ",", " ", ", ", ",\t", " ", " ", ",,", "  ,  ",
+            "CPF", "cpf", "Cpf", "portador", "PORTADOR", "portadora",
+            "cpf:", "1cpf", "-cpf", "İ", "ı", "ſ", "ſervidor",
+            "123.456.789-00", "texto", "",
+        ]
+    ),
+    max_size=8,
+).map("".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_TAILISH)
+def test_names_tail_prefilter_is_necessary(text):
+    """_tail_keyword_anchored(fold(text)) must be True whenever the
+    NAME[,\\s]+(?:CPF|portador) template matches — a False probe is the
+    license to skip that finditer entirely."""
+    from vigil_ray.kernel.names import _STRONG_CONTEXTS, _tail_keyword_anchored
+
+    rx = next(r for _g, r, p in _STRONG_CONTEXTS if p is _tail_keyword_anchored)
+    if rx.search(text):
+        assert _tail_keyword_anchored(fold_for_keywords(text)), text
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TAILISH)
+def test_names_heuristic_equals_prefilter_free_scan(text):
+    """find_names_heuristic with the structural prefilters vs a prefilter-free
+    rerun of the same template loop — identical Detection lists."""
+    from vigil_ray.kernel import names as N
+
+    low = fold_for_keywords(text)
+    expected = []
+    seen = set()
+    if any(w in low for w in N._ANY_CONTEXT_WORDS):
+        for gate_words, rx, _pre in N._STRONG_CONTEXTS:
+            if not any(w in low for w in gate_words):
+                continue
+            for m in rx.finditer(text):
+                name = N.clean_name(m.group(1).strip())
+                if name and N.is_valid_person_name(name):
+                    key = name.lower()
+                    if key not in seen:
+                        expected.append(
+                            N.Detection("nome", name, 0.80, m.start(1), m.end(1))
+                        )
+                        seen.add(key)
+    assert N.find_names_heuristic(text) == expected, text
 
 
 def test_fold_for_keywords_divergent_codepoints():

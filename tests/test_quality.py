@@ -250,3 +250,62 @@ class TestClassifyMaskDifferential:
 
         # 'la' is an es AND fr stopword; one hit each way — es precedes fr
         assert classify("la qwv")[0] == "es"
+
+
+class TestWordProfileMemo:
+    """_word_profile memo ≡ the inline lower()/_ALPHA.search spec, and the
+    quality_features wiring over it stays identical to a memo-free rerun."""
+
+    def test_profile_matches_spec(self):
+        from vigil_ray.kernel.quality import _ALPHA, _word_profile
+
+        for w in [
+            "word", "WORD", "Déjà", "123", "_", "a1", "１２３", "İ", "ı",
+            "ſ", "", "x_y", "²", "①", "…", "ΑΣ", "ΟΣ", "ς",
+        ]:
+            assert _word_profile(w) == (w.lower(), _ALPHA.search(w) is not None), w
+
+    def test_quality_features_equal_memo_free(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel import quality as Q
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(
+                st.sampled_from(
+                    ["the", "THE", "casa", "１２３", "123", "_", "a#a",
+                     "...", "x", "İx", "ſs", "linha\n", "dup dup"]
+                ),
+                max_size=12,
+            ).map(" ".join)
+        )
+        def check(text):
+            got = Q.quality_features(text)
+            words = text.split()
+            lowered = [w.lower() for w in words]
+            assert got["alpha_word_frac"] == (
+                round(sum(1 for w in words if Q._ALPHA.search(w)) / len(words), 6)
+                if words else 0.0
+            ), text
+            assert got["has_stopword"] == (not Q._STOP_PROBE.isdisjoint(lowered)), text
+            if words:
+                assert got["top2gram_frac"] == Q._top_ngram_char_frac(
+                    lowered, 2, sum(len(w) for w in words)
+                ), text
+
+        check()
+
+    def test_memo_cap_respected(self):
+        from vigil_ray.kernel import quality as Q
+
+        old_cap = Q._WORD_MEMO_CAP
+        try:
+            Q._WORD_MEMO_CAP = len(Q._WORD_MEMO)  # full → no inserts
+            before = len(Q._WORD_MEMO)
+            w = "never-seen-word-%d" % before
+            assert Q._word_profile(w) == (w.lower(), True)
+            assert len(Q._WORD_MEMO) == before
+        finally:
+            Q._WORD_MEMO_CAP = old_cap

@@ -108,3 +108,39 @@ class TestFusedPoisonRow:
         # poison row degrades to empty scrub, toxic masking of "" stays ""
         assert out.column("text_scrubbed").to_pylist()[0] == ""
         assert not out.column("contem_pii").to_pylist()[0]
+
+
+# --- gated toxic_spans ≡ spec scan differential ------------------------------
+# toxic_spans fast-rejects via findall(text.lower()) + isdisjoint; this pins
+# the gate to the per-token spec scan including the Unicode traps: İ (the only
+# multi-char lower), final sigma (the only context-sensitive lower), Kelvin K,
+# accented PT terms, punctuation-adjacent tokens, and digit/underscore walls.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vigil_ray.kernel.toxicity import _toxic_spans_scan
+
+_TOXISH = st.lists(
+    st.sampled_from(
+        [
+            "idiota", "IDIOTA", "Idiota,", "estúpido", "ESTÚPİDO", "lixo",
+            "hate", "HATE.", "hateful", "whatever", "texto", "İdiot",
+            "ıdiot", "ſtupid", "ΣΟΣ", "ΑΣ", "K", "idiot_", "_idiot",
+            "9idiot", "idiot9", " ", ",", ".", "-", "\n", "ó", "İ", "ı",
+            "ſ", "ΟΣ'α", "miserável", "MISERÁVEL", "desgraçado",
+        ]
+    ),
+    max_size=10,
+).map(" ".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_TOXISH)
+def test_toxic_spans_gate_equals_spec(text):
+    assert toxic_spans(text) == _toxic_spans_scan(text), text
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_toxic_spans_gate_equals_spec_arbitrary(text):
+    assert toxic_spans(text) == ([] if not text else _toxic_spans_scan(text)), text

@@ -29,6 +29,46 @@ from vigil_ray.kernel.preprocess import fold_for_keywords
 _NAME_WORD = r"[A-Z][a-záàâãéêíóôõúç]+"
 _FULL_NAME = _NAME_WORD + r"(?:\s+(?:de|da|do|das|dos|e)?\s*" + _NAME_WORD + r"){1,5}"
 
+def _tail_keyword_anchored(low: str) -> bool:
+    """Necessary condition for the ``NAME[,\\s]+(?:CPF|portador)`` template
+    (the one grammar whose FIRST element is the backtracking name chain — an
+    unanchored leading group makes ``finditer`` try the chain at every
+    position, ~370 µs per gate-passing doc while every other template costs
+    ~3 µs thanks to its literal keyword prefix).
+
+    Any match must contain a case-insensitive keyword occurrence preceded by
+    a ``[,\\s]+`` run, preceded by the name chain's LAST word (a letter run
+    of ≥2 chars), preceded by whitespace, preceded by another letter (the
+    chain is ``WORD (SEP WORD){1,5}`` — at least two words, and every SEP
+    carries ≥1 whitespace even when its optional connector abuts the next
+    word, so walking back from the keyword must cross letters→space→letter).
+    ``fold_for_keywords`` is length-preserving (the İ pre-translate removes
+    the only multi-char lower), so fold positions ARE text positions;
+    ``str.isspace()`` / ``str.isalpha()`` are supersets of the regex's
+    separator / word classes under IGNORECASE, so the probe can only
+    over-fire — False proves ``finditer`` yields nothing, True falls through
+    to the original scan. Pinned by the template-gate superset differential
+    and the prefilter-free rerun differential in tests/test_properties.py."""
+    for kw in ("cpf", "portador"):
+        q = low.find(kw)
+        while q != -1:
+            i = q
+            while i > 0 and (low[i - 1] == "," or low[i - 1].isspace()):
+                i -= 1
+            if i < q:  # ≥1 separator char
+                j = i
+                while j > 0 and low[j - 1].isalpha():
+                    j -= 1
+                if i - j >= 2:  # last name word is [A-Z][a-z…]+ → ≥2 letters
+                    k = j
+                    while k > 0 and low[k - 1].isspace():
+                        k -= 1
+                    if k < j and k > 0 and low[k - 1].isalpha():
+                        return True
+            q = low.find(kw, q + 1)
+    return False
+
+
 # Each grammar is paired with a cheap literal pre-gate: the grammar can only
 # match when its anchor keyword occurs, and probing ASCII literals with `in`
 # against one fold_for_keywords() copy is ~100× cheaper than the bounded name
@@ -37,20 +77,26 @@ _FULL_NAME = _NAME_WORD + r"(?:\s+(?:de|da|do|das|dos|e)?\s*" + _NAME_WORD + r")
 # exactly re.IGNORECASE-equivalent for ASCII literals (preprocess.py); the
 # first gate weakens r"meu\s+nome" to "meu" (a strict superset — gates are
 # pure optimizations, any superset is sound). Never changes which documents
-# match.
+# match. The third tuple slot is an optional extra structural prefilter run
+# after the keyword gate (same superset soundness contract).
 _STRONG_CONTEXTS = tuple(
-    (gate, re.compile(p, re.IGNORECASE))
-    for gate, p in (
+    (gate, re.compile(p, re.IGNORECASE), pre)
+    for gate, p, pre in (
         (("meu",),
-         r"(?:meu\s+nome\s+(?:é|completo\s+é))[:\s]+(" + _FULL_NAME + r")"),
-        (("nome",), r"(?:nome)[:\s]+(" + _FULL_NAME + r")"),
-        (("chamo",), r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")"),
-        (("cpf",), r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")"),
-        (("cpf", "portador"), r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)"),
+         r"(?:meu\s+nome\s+(?:é|completo\s+é))[:\s]+(" + _FULL_NAME + r")",
+         None),
+        (("nome",), r"(?:nome)[:\s]+(" + _FULL_NAME + r")", None),
+        (("chamo",), r"(?:chamo-me|me\s+chamo)[:\s]+(" + _FULL_NAME + r")",
+         None),
+        (("cpf",), r"(?:CPF[:\s]*[\d.-]+[,\s]+)(" + _FULL_NAME + r")", None),
+        (("cpf", "portador"), r"(" + _FULL_NAME + r")[,\s]+(?:CPF|portador)",
+         _tail_keyword_anchored),
         (("cidad", "requerente", "solicitante"),
-         r"(?:cidadão|cidadã|requerente|solicitante)[:\s]+(" + _FULL_NAME + r")"),
+         r"(?:cidadão|cidadã|requerente|solicitante)[:\s]+(" + _FULL_NAME + r")",
+         None),
         (("servidor", "funcion"),
-         r"(?:servidor(?:a)?|funcionário(?:a)?)[:\s]+(" + _FULL_NAME + r")"),
+         r"(?:servidor(?:a)?|funcionário(?:a)?)[:\s]+(" + _FULL_NAME + r")",
+         None),
     )
 )
 
@@ -91,8 +137,10 @@ def find_names_heuristic(text: str) -> List[Detection]:
         return []
     out: List[Detection] = []
     seen: set = set()
-    for gate_words, rx in _STRONG_CONTEXTS:
+    for gate_words, rx, pre in _STRONG_CONTEXTS:
         if not any(w in low for w in gate_words):
+            continue
+        if pre is not None and not pre(low):
             continue
         for m in rx.finditer(text):
             name = clean_name(m.group(1).strip())

@@ -24,6 +24,22 @@ from vigil_ray.config import QualityConfig
 _WS = re.compile(r"\s+")
 _ALPHA = re.compile(r"[^\W\d_]", re.UNICODE)
 
+# word → (word.lower(), _ALPHA.search(word) is not None): both are pure
+# per-word functions and natural text repeats words heavily, so one dict probe
+# replaces a lower() + regex search per word (~0.4 µs → ~0.04 µs). Capped like
+# the CharLM memos (perplexity.py); differential-pinned in tests/test_quality.py.
+_WORD_MEMO: Dict[str, Tuple[str, bool]] = {}
+_WORD_MEMO_CAP = 1_000_000
+
+
+def _word_profile(w: str) -> Tuple[str, bool]:
+    e = _WORD_MEMO.get(w)
+    if e is None:
+        e = (w.lower(), _ALPHA.search(w) is not None)
+        if len(_WORD_MEMO) < _WORD_MEMO_CAP:
+            _WORD_MEMO[w] = e
+    return e
+
 # C4-style minimal English/Portuguese stopword probe
 _STOP_PROBE = frozenset(
     "the and of to a in is that de a o que e do da em um para com not".split()
@@ -52,7 +68,8 @@ def quality_features(text: str) -> Dict[str, Any]:
     total_word_chars = sum(word_lens)
     # non-overlapping counts equal the regex scan: '#' is never part of '...'
     n_symbols = text.count("#") + text.count("...") + text.count("…")
-    n_alpha_words = sum(1 for w in words if _ALPHA.search(w))
+    profiles = [_word_profile(w) for w in words]
+    n_alpha_words = sum(1 for _lw, a in profiles if a)
 
     dup_line_frac = 0.0
     if "\n" in text:
@@ -62,7 +79,7 @@ def quality_features(text: str) -> Dict[str, Any]:
             dup_lines = sum(c - 1 for c in line_counts.values() if c > 1)
             dup_line_frac = dup_lines / len(lines)
 
-    lowered = [w.lower() for w in words]
+    lowered = [lw for lw, _a in profiles]
     return {
         "n_chars": len(text),
         "n_words": n_words,

@@ -44,15 +44,34 @@ TOXIC_TERMS = frozenset(
 _WORD = re.compile(r"\w+", re.UNICODE)
 
 
-def toxic_spans(text: str) -> List[Tuple[int, int, str]]:
-    """All toxic-token occurrences as ``(start, end, token)`` spans."""
-    if not text:
-        return []
+def _toxic_spans_scan(text: str) -> List[Tuple[int, int, str]]:
+    """The spec scan: every ``\\w+`` token, lowered, probed against the term
+    set, with original-text offsets."""
     return [
         (m.start(), m.end(), m.group())
         for m in _WORD.finditer(text)
         if m.group().lower() in TOXIC_TERMS
     ]
+
+
+def toxic_spans(text: str) -> List[Tuple[int, int, str]]:
+    """All toxic-token occurrences as ``(start, end, token)`` spans.
+
+    Fast reject first: ``_WORD.findall`` over the char-wise-lowered text plus
+    one C-speed ``frozenset.isdisjoint`` — no per-token ``.lower()`` calls, no
+    match objects. Exactness: ``str.lower`` maps \\w→\\w and non-\\w→itself
+    (uncased chars are fixed points), so token boundaries survive lowering;
+    a token whose ``token.lower()`` equals a (pure-Latin) term lowers char-wise
+    1:1 onto that term, which therefore appears verbatim as a token of
+    ``text.lower()`` — disjoint proves the spec scan returns []. Expansion
+    (İ→i+U+0307) and final-sigma context cases only produce non-term tokens on
+    both paths. Pinned by the gated-vs-spec hypothesis differential in
+    tests/test_toxicity.py."""
+    if not text:
+        return []
+    if TOXIC_TERMS.isdisjoint(_WORD.findall(text.lower())):
+        return []
+    return _toxic_spans_scan(text)
 
 
 def score_toxicity(
