@@ -19,6 +19,8 @@ _SCRIPT_STYLE = re.compile(
 )
 _TAG = re.compile(r"<[^>]+>")
 _BLANK_RUNS = re.compile(r"\n{2,}")
+_BR = re.compile(r"<br\s*/?\s*>", re.IGNORECASE)
+_BLOCK_CLOSE = re.compile(r"</(p|div|br|li|h[1-6]|tr|td|th)\s*>", re.IGNORECASE)
 
 
 def extract_text(html_bytes: bytes) -> str:
@@ -30,11 +32,9 @@ def extract_text(html_bytes: bytes) -> str:
     # void/self-closing line breaks: <br> virtually never appears as </br>
     # in real crawl HTML — without this, 'line1<br>line2' would concatenate
     # to 'line1line2' and corrupt tokenization / PII digit runs downstream
-    raw = re.sub(r"<br\s*/?\s*>", "\n", raw, flags=re.IGNORECASE)
+    raw = _BR.sub("\n", raw)
     # block-level closers become newlines so paragraphs/cells stay separated
-    raw = re.sub(
-        r"</(p|div|br|li|h[1-6]|tr|td|th)\s*>", "\n", raw, flags=re.IGNORECASE
-    )
+    raw = _BLOCK_CLOSE.sub("\n", raw)
     raw = _TAG.sub("", raw)
     raw = _htmlmod.unescape(raw)
     lines = [ln.strip() for ln in raw.split("\n")]

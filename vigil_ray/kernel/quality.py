@@ -68,7 +68,10 @@ def quality_features(text: str) -> Dict[str, Any]:
     total_word_chars = sum(word_lens)
     # non-overlapping counts equal the regex scan: '#' is never part of '...'
     n_symbols = text.count("#") + text.count("...") + text.count("…")
-    profiles = [_word_profile(w) for w in words]
+    # inline memo probe: split() never yields "", so every cached profile is a
+    # truthy 2-tuple and `or` falls through to the builder only on misses
+    _get = _WORD_MEMO.get
+    profiles = [_get(w) or _word_profile(w) for w in words]
     n_alpha_words = sum(1 for _lw, a in profiles if a)
 
     dup_line_frac = 0.0
@@ -108,7 +111,8 @@ def _top_ngram_char_frac(words: List[str], n: int, total_chars=None) -> float:
         total_chars = sum(len(w) for w in words)
     if total_chars == 0:
         return 0.0
-    grams = Counter(_ngrams(words, n))
+    # Counter consumes the zip iterator directly — no intermediate list
+    grams = Counter(zip(*(words[i:] for i in range(n))))
     gram, count = grams.most_common(1)[0]
     if count <= 1:
         return 0.0
