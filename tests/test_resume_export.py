@@ -83,6 +83,42 @@ class TestResumable:
         )
         assert total == expected
 
+    def test_crash_mid_corpus_resumes(self, sharded_input, tmp_path):
+        """The docstring's headline claim: a run that dies mid-corpus
+        (exception after some shards committed, a partial .tmp left behind)
+        resumes from the manifest and re-runs only the unfinished shards."""
+        from vigil_ray.pipelines.manifest import load_manifest, run_resumable
+
+        out_dir = str(tmp_path / "out_crash")
+        calls = {"n": 0}
+
+        def crashing_pipeline(ds):
+            calls["n"] += 1
+            if calls["n"] == 3:  # die on the last shard
+                raise RuntimeError("worker lost")
+            return self._pipeline(ds)
+
+        with pytest.raises(RuntimeError, match="worker lost"):
+            run_resumable(sharded_input, out_dir, crashing_pipeline)
+
+        # two shards committed atomically before the crash
+        manifest = load_manifest(out_dir)
+        assert len(manifest) == 2
+        assert all(os.path.isdir(e["output_dir"]) for e in manifest.values())
+
+        # simulate a torn write too: a stale .tmp from the dead shard
+        stale = os.path.join(out_dir, "shard=deadbeef.tmp")
+        os.makedirs(stale, exist_ok=True)
+
+        stats = run_resumable(sharded_input, out_dir, self._pipeline)
+        assert stats == {"ran": 1, "skipped": 2, "total": 3}
+        total = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for d in (e["output_dir"] for e in load_manifest(out_dir).values())
+            for f in os.listdir(d)
+        )
+        assert total == pq.read_metadata(f"{SF}/documents.parquet").num_rows
+
     def test_input_change_invalidates(self, sharded_input, tmp_path):
         from vigil_ray.pipelines.manifest import run_resumable
 
