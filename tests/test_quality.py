@@ -309,3 +309,117 @@ class TestWordProfileMemo:
             assert len(Q._WORD_MEMO) == before
         finally:
             Q._WORD_MEMO_CAP = old_cap
+
+
+class TestNgramFracDifferential:
+    """The max(values)+first-match top-n-gram form and the dup-gram early
+    exit must equal the original Counter.most_common(1) spec exactly —
+    including the tie-break (heapq.nlargest breaks count ties by earliest
+    iteration position; Counter iterates in first-insertion order, so the
+    first items() entry at the max count is the same gram)."""
+
+    @staticmethod
+    def _top_spec(words, n, total_chars):
+        from collections import Counter
+
+        if len(words) < n:
+            return 0.0
+        if total_chars == 0:
+            return 0.0
+        grams = Counter(zip(*(words[i:] for i in range(n))))
+        gram, count = grams.most_common(1)[0]
+        if count <= 1:
+            return 0.0
+        return round(count * sum(len(w) for w in gram) / total_chars, 6)
+
+    @staticmethod
+    def _dup_spec(words, n, word_lens, total_chars):
+        from collections import Counter
+
+        if len(words) < n:
+            return 0.0
+        if total_chars == 0:
+            return 0.0
+        grams = list(zip(*(words[i:] for i in range(n))))
+        counts = Counter(grams)
+        covered = [False] * len(words)
+        any_dup = False
+        for i, g in enumerate(grams):
+            if counts[g] > 1:
+                covered[i : i + n] = [True] * n
+                any_dup = True
+        if not any_dup:
+            return 0.0
+        dup_chars = sum(l for l, c in zip(word_lens, covered) if c)
+        return round(dup_chars / total_chars, 6)
+
+    def test_differential_tie_heavy(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel import quality as Q
+
+        # tiny vocab with UNEQUAL word lengths → frequent count ties between
+        # grams of different char mass, where a wrong tie-break changes the
+        # fraction
+        vocab = ["a", "bb", "ccc", "dddd", "x"]
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), min_size=0, max_size=14))
+        def check(words):
+            total = sum(len(w) for w in words)
+            for n in (2, 3):
+                assert Q._top_ngram_char_frac(words, n, total) == self._top_spec(
+                    words, n, total
+                ), (words, n)
+            lens = [len(w) for w in words]
+            assert Q._dup_ngram_char_frac(words, 5, lens, total) == self._dup_spec(
+                words, 5, lens, total
+            ), words
+
+        check()
+
+
+class TestExtractGateDifferential:
+    """The literal-probe gates in extract_text must be invisible: a gated-out
+    sub returns its input unchanged, so the gated pipeline is byte-identical
+    to running every sub unconditionally (the original spec, inlined here)."""
+
+    @staticmethod
+    def _extract_spec(html_bytes):
+        import html as _htmlmod
+
+        from vigil_ray.kernel import html as H
+
+        if not html_bytes:
+            return ""
+        raw = html_bytes.decode("utf-8", errors="replace")
+        raw = H._SCRIPT_STYLE.sub(" ", raw)
+        raw = H._BR.sub("\n", raw)
+        raw = H._BLOCK_CLOSE.sub("\n", raw)
+        raw = H._TAG.sub("", raw)
+        raw = _htmlmod.unescape(raw)
+        lines = [ln.strip() for ln in raw.split("\n")]
+        text = "\n".join(ln for ln in lines if ln)
+        return H._BLANK_RUNS.sub("\n", text).strip()
+
+    def test_differential_htmlish(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel.html import extract_text
+
+        frags = [
+            "<HEAD>x</head>", "<script>js</script>", "<Br/>", "<br >",
+            "</p>", "</DIV>", "<p>", "texto", "a&amp;b", "&#10;", "linha um",
+            " ", "\n", "123-456", "<b>bold</b>", "</br>", "&lt;tag&gt;",
+            "<td>c</td>", "plain", "ação", "", "<style>s</style>",
+        ]
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(st.sampled_from(frags), max_size=10).map("".join))
+        def check(s):
+            b = s.encode("utf-8")
+            assert extract_text(b) == self._extract_spec(b), s
+
+        check()

@@ -28,17 +28,34 @@ def extract_text(html_bytes: bytes) -> str:
     if not html_bytes:
         return ""
     raw = html_bytes.decode("utf-8", errors="replace")
-    raw = _SCRIPT_STYLE.sub(" ", raw)
+    # literal necessary-condition gates mirror kernel/patterns.py: each regex
+    # below provably cannot match without its anchor substring, and a C `in`
+    # probe over one lowered copy replaces the full scans on the misses.
+    # A gated-out sub returns its input unchanged, so the output is
+    # byte-identical (differential-pinned in tests/test_quality.py).
+    low = raw.lower()
+    if "<script" in low or "<style" in low or "<head" in low:
+        raw = _SCRIPT_STYLE.sub(" ", raw)
     # void/self-closing line breaks: <br> virtually never appears as </br>
     # in real crawl HTML — without this, 'line1<br>line2' would concatenate
     # to 'line1line2' and corrupt tokenization / PII digit runs downstream
-    raw = _BR.sub("\n", raw)
+    if "<br" in low:
+        raw = _BR.sub("\n", raw)
     # block-level closers become newlines so paragraphs/cells stay separated
-    raw = _BLOCK_CLOSE.sub("\n", raw)
-    raw = _TAG.sub("", raw)
-    raw = _htmlmod.unescape(raw)
+    if "</" in raw:
+        raw = _BLOCK_CLOSE.sub("\n", raw)
+    if "<" in raw:
+        raw = _TAG.sub("", raw)
+    if "&" in raw:
+        raw = _htmlmod.unescape(raw)
+    if "\n" not in raw:
+        # single-line body: the split/strip/join pipeline reduces to strip()
+        # and a no-newline string cannot contain a blank run
+        return raw.strip()
     lines = [ln.strip() for ln in raw.split("\n")]
     text = "\n".join(ln for ln in lines if ln)
+    if "\n\n" not in text:
+        return text.strip()
     return _BLANK_RUNS.sub("\n", text).strip()
 
 

@@ -71,13 +71,16 @@ class CharLM:
         # so scoring amortizes to ~1 dict hit per char. Capped to bound memory.
         self._memo: Dict[str, float] = {}
         self._memo_cap = 1_000_000
-        # (3-char left context, word, has-trailing-space) → tuple of that
-        # segment's per-gram log-probs. Natural text reuses words heavily
-        # (Zipf), so scoring amortizes to ~1 dict hit per WORD instead of per
-        # char; concatenating segment tuples in document order reproduces the
-        # exact per-char lp sequence, so the left-to-right float64 sum — and
-        # therefore the rounded perplexity — is bit-identical to the scalar
-        # path (differential-tested in tests/test_lm.py). Capped like _memo.
+        # (3-char left context, word, has-trailing-space) → (tuple of that
+        # segment's per-gram log-probs, next left context). Natural text
+        # reuses words heavily (Zipf), so scoring amortizes to ~1 dict hit
+        # per WORD instead of per char; concatenating segment tuples in
+        # document order reproduces the exact per-char lp sequence, so the
+        # left-to-right float64 sum — and therefore the rounded perplexity —
+        # is bit-identical to the scalar path (differential-tested in
+        # tests/test_lm.py). Carrying the successor context in the memo value
+        # removes the per-word string concat+slice on hits (32 → 19 µs/doc
+        # measured). Capped like _memo.
         self._seg_memo: Dict[tuple, tuple] = {}
         self._seg_memo_cap = 500_000
 
@@ -137,8 +140,8 @@ class CharLM:
         for wi, w in enumerate(words):
             trail = wi != last
             key = (ctx, w, trail)
-            seg = seg_memo.get(key)
-            if seg is None:
+            entry = seg_memo.get(key)
+            if entry is None:
                 vals = []
                 for j in range(len(w) + (1 if trail else 0)):
                     i = pos + j
@@ -149,12 +152,15 @@ class CharLM:
                         if len(memo) < self._memo_cap:
                             memo[g] = lp
                     vals.append(lp)
-                seg = tuple(vals)
+                entry = (
+                    tuple(vals),
+                    (ctx + ((w + " ") if trail else w))[-(o - 1):],
+                )
                 if len(seg_memo) < self._seg_memo_cap:
-                    seg_memo[key] = seg
-            ext(seg)
+                    seg_memo[key] = entry
+            ext(entry[0])
+            ctx = entry[1]
             pos += len(w) + 1
-            ctx = (ctx + ((w + " ") if trail else w))[-(o - 1):]
         return round(math.exp(-sum(lps) / len(lps)), 4)
 
     def _score_scalar(self, norm: str) -> float:

