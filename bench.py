@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "events_value_percent_rank",
         "events_hourly_distinct",
         "embeddings_kmeans_assign",
+        "embeddings_semdedup",
         "docs_delta_ingest",
         "docs_ols_fit",
         "docs_url_dedup",

@@ -1213,3 +1213,63 @@ class TestWebtextKernels:
         key = lambda a, b: ord(a) * _BPE_SHIFT + ord(b)
         # "abab": ab, ba, ab; "ba": ba — and NO cross-doc pair b|b
         assert got == {key("a", "b"): 2, key("b", "a"): 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemDeDup:
+    """stages/embeddings.semdedup: cluster assignment + within-cluster
+    integer cosine dup rule (τ² = tau_num/tau_den, keep-earliest-id)."""
+
+    def test_known_dups_and_keeper_rule(self):
+        from vigil_ray.stages.embeddings import semdedup
+
+        # k=2 seed centroids = vecs 1 and 2 (smallest non-zero ids).
+        # Cluster A (near [1,0,0]): 1, 10 (parallel → cos=1, dup), 11
+        # (orthogonal-ish [0,0,1] assigns to A's centroid? no — equidistant
+        # ties go to the LOWEST cell id). Cluster B (near [0,1,0]): 2, 20
+        # (scaled copy → dup).
+        rows = [
+            {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+            {"vec_id": 2, "embedding": [0.0, 1.0, 0.0]},
+            {"vec_id": 10, "embedding": [2.0, 0.0, 0.0]},  # ∥ vec 1 → dup
+            {"vec_id": 20, "embedding": [0.0, 0.5, 0.0]},  # ∥ vec 2 → dup
+            {"vec_id": 30, "embedding": [0.0, 0.0, 0.0]},  # zero → dropped
+            {"vec_id": 40, "embedding": [-1.0, 0.0, 0.0]},  # anti-∥: x·y<0
+        ]
+        out = (
+            semdedup(_ds(rows), k=2, tau_num=81, tau_den=100)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert out["vec_id"].tolist() == [1, 2, 10, 20, 40]
+        got = dict(zip(out["vec_id"], out["semdup"]))
+        # earliest id in each dup pair is KEPT; negative dot never dups
+        assert got == {1: False, 2: False, 10: True, 20: True, 40: False}
+        cells = dict(zip(out["vec_id"], out["cell"]))
+        assert cells[10] == cells[1] and cells[20] == cells[2]
+        # -x: dist(-q, q) = 4‖q‖² but dist(-q, c2) = ‖q‖²+‖c2‖² = 2‖q‖² —
+        # the anti-parallel vector is integer-argmin NEARER to the OTHER
+        # centroid, so it lands in cell 2
+        assert cells[40] == cells[2]
+
+    def test_threshold_boundary_exact(self):
+        from vigil_ray.stages.embeddings import semdedup
+
+        # seeds 1=[127,0], 2=[0,127]; vec 10 = [127,127] is EQUIDISTANT from
+        # both centroids (127² each) → tie goes to the lowest cell id, so it
+        # shares cell 1 with vec 1. cos²([127,0],[127,127]) is exactly 1/2:
+        # τ²=1/2 must flag it (the rule is ≥, not >); τ²=51/100 must not.
+        rows = [
+            {"vec_id": 1, "embedding": [1.0, 0.0]},
+            {"vec_id": 2, "embedding": [0.0, 1.0]},
+            {"vec_id": 10, "embedding": [1.0, 1.0]},
+        ]
+        hit = semdedup(_ds(rows), k=2, tau_num=1, tau_den=2).to_pandas()
+        assert dict(zip(hit["vec_id"], hit["cell"]))[10] == 1  # tie → low id
+        assert dict(zip(hit["vec_id"], hit["semdup"])) == {
+            1: False, 2: False, 10: True,
+        }
+        miss = semdedup(_ds(rows), k=2, tau_num=51, tau_den=100).to_pandas()
+        assert dict(zip(miss["vec_id"], miss["semdup"])) == {
+            1: False, 2: False, 10: False,
+        }

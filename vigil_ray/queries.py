@@ -2802,6 +2802,20 @@ def q_embeddings_kmeans_assign(sf_dir: str):
     return kmeans_assign_step(ds, k=8)
 
 
+def q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic near-dup flags over the
+    embeddings table: int8-quantize → integer-argmin cluster against the 8
+    deterministic seed centroids → within-cluster integer cosine test
+    (τ² = 81/400, i.e. τ = 0.45) with the keep-earliest-id rule. Every step
+    is integer-exact, so the oracle recomputes identical flags with
+    ``list_dot_product`` (see ``stages/embeddings.semdedup``)."""
+    from vigil_ray.sources.readers import read_table
+    from vigil_ray.stages.embeddings import semdedup
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=8, tau_num=81, tau_den=400)
+
+
 def q_events_hourly_distinct(sf_dir: str):
     """Windowed COUNT DISTINCT — distinct active users per tumbling hour
     (the DAU/HAU shape). Exact, with no distinct-aggregate machinery: each
@@ -4340,6 +4354,7 @@ def queries() -> Dict[str, Callable]:
         "docs_ols_fit": q_docs_ols_fit,
         "events_value_percent_rank": q_events_value_percent_rank,
         "embeddings_kmeans_assign": q_embeddings_kmeans_assign,
+        "embeddings_semdedup": q_embeddings_semdedup,
         "events_hourly_distinct": q_events_hourly_distinct,
         "docs_dup_triangles": q_docs_dup_triangles,
         "docs_delta_ingest": q_docs_delta_ingest,
@@ -4820,6 +4835,36 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
             "SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_members, "
             "CAST(sum(dist) AS BIGINT) AS inertia FROM a WHERE rn = 1 GROUP BY cid"
+        ),
+        # same quantize/seed/argmin prologue as embeddings_kmeans_assign;
+        # dup(x) ⇔ ∃ y<x in x's cluster with x·y>0 and 400(x·y)² ≥ 81(x·x)(y·y)
+        # (τ=0.45). Dots of int8 codes at dim 64 are ≤ 127²·64 ≈ 1.03e6 —
+        # exactly representable, and every BIGINT product stays below 2⁶³.
+        "embeddings_semdedup": (
+            "WITH m AS (SELECT vec_id, embedding, "
+            "  list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS mx "
+            "  FROM embeddings), "
+            "q AS (SELECT vec_id, list_transform(embedding, x -> "
+            "  CASE WHEN CAST(x AS DOUBLE) * (127.0/mx) >= 0 "
+            "  THEN floor(CAST(x AS DOUBLE) * (127.0/mx) + 0.5) "
+            "  ELSE ceil(CAST(x AS DOUBLE) * (127.0/mx) - 0.5) END) AS qv "
+            "  FROM m WHERE mx > 0), "
+            "c AS (SELECT vec_id AS cid, qv AS cv FROM q "
+            "  WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)), "
+            "d AS (SELECT q.vec_id, c.cid, q.qv, CAST(list_dot_product(q.qv, q.qv) "
+            "  - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv) "
+            "  AS BIGINT) AS dist FROM q, c), "
+            "a AS (SELECT vec_id, cid, qv, row_number() OVER "
+            "  (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), "
+            "asg AS (SELECT vec_id, cid AS cell, qv FROM a WHERE rn = 1) "
+            "SELECT x.vec_id, x.cell, EXISTS (SELECT 1 FROM asg y "
+            "  WHERE y.cell = x.cell AND y.vec_id < x.vec_id "
+            "  AND CAST(list_dot_product(x.qv, y.qv) AS BIGINT) > 0 "
+            "  AND 400 * CAST(list_dot_product(x.qv, y.qv) AS BIGINT) "
+            "      * CAST(list_dot_product(x.qv, y.qv) AS BIGINT) "
+            "      >= 81 * CAST(list_dot_product(x.qv, x.qv) AS BIGINT) "
+            "      * CAST(list_dot_product(y.qv, y.qv) AS BIGINT)"
+            ") AS semdup FROM asg x"
         ),
         "docs_ols_fit": (
             "WITH f AS (SELECT CAST(length(text) AS BIGINT) AS y, "

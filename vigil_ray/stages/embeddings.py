@@ -55,6 +55,27 @@ def quantize_embeddings(
     return ds.map_batches(quant, batch_format="pyarrow")
 
 
+def _seed_centroids(ds, k: int, id_col: str, vec_col: str):
+    """Deterministic seed centroids: the quantized vectors of the ``k``
+    smallest non-zero ids (no RNG). Returns ``(C, c_sq, cent_ids)`` —
+    the k×dim int64 matrix, its per-row squared norms, and the seed ids."""
+    head = ds.sort(id_col).limit(max(4 * k, 32)).take_all()
+    cents, cent_ids = [], []
+    for row in head:
+        x = np.asarray(row[vec_col], dtype=np.float64)
+        m = float(np.max(np.abs(x))) if len(x) else 0.0
+        if m == 0.0:
+            continue
+        cents.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
+        cent_ids.append(int(row[id_col]))
+        if len(cents) == k:
+            break
+    if len(cents) < k:
+        raise ValueError(f"fewer than k={k} non-zero vectors in the head sample")
+    C = np.stack(cents)  # k × dim
+    return C, (C * C).sum(axis=1), np.asarray(cent_ids, np.int64)
+
+
 def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"):
     """One seeded Lloyd assignment step — the inner loop of distributed
     k-means, made EXACTLY checkable: vectors are int8-quantized first (the
@@ -78,22 +99,8 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "e
     from ray.data.aggregate import Sum
 
     # k smallest non-zero ids (margin for the zero-vector corner, asserted)
-    head = ds.sort(id_col).limit(max(4 * k, 32)).take_all()
-    cents, cent_ids = [], []
-    for row in head:
-        x = np.asarray(row[vec_col], dtype=np.float64)
-        m = float(np.max(np.abs(x))) if len(x) else 0.0
-        if m == 0.0:
-            continue
-        cents.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
-        cent_ids.append(int(row[id_col]))
-        if len(cents) == k:
-            break
-    if len(cents) < k:
-        raise ValueError(f"fewer than k={k} non-zero vectors in the head sample")
-    C = np.stack(cents)  # k × dim
-    c_sq = (C * C).sum(axis=1)  # k
-    cref = ray.put((C, c_sq, np.asarray(cent_ids, np.int64)))
+    C, c_sq, cent_ids = _seed_centroids(ds, k, id_col, vec_col)
+    cref = ray.put((C, c_sq, cent_ids))
 
     def partial(batch: pa.Table) -> pa.Table:
         Cm, csq, cids = ray.get(cref)
@@ -136,4 +143,105 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "e
             Sum("n_members", alias_name="n_members"),
             Sum("inertia", alias_name="inertia"),
         )
+    )
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    tau_num: int = 81,
+    tau_den: int = 400,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    flagging over an embedding column — cluster, then compare only within
+    clusters. Made EXACTLY oracle-checkable the same way as
+    :func:`kmeans_assign_step`: vectors are int8-quantized (half-away
+    rounding, SQL-matched), cluster assignment is the integer argmin against
+    the k deterministic seed centroids (ties → lowest centroid id), and the
+    cosine threshold τ is the rational τ² = tau_num/tau_den compared in
+    integer arithmetic — ``dup(x) ⇔ ∃ y<x in x's cluster: x·y > 0 and
+    tau_den·(x·y)² ≥ tau_num·(x·x)(y·y)`` (keep-earliest-id rule, the same
+    keeper convention as the exact/minhash dedup family). |q| ≤ 127 and
+    dim 64 bound every product below 2⁵³, so numpy int64, DuckDB BIGINT and
+    the engine agree bit-for-bit.
+
+    Ray shape: ONE broadcast of the k×dim centroid matrix (``ray.put``), a
+    vectorized ``map_batches`` assign pass (no per-vector state leaves the
+    block; the int8 codes travel as fixed-width 1-byte-per-dim binary, not
+    Arrow lists), then ``groupby(cell).map_groups`` with one numpy matmul
+    per cluster. Scale contract: per-cluster work/memory is O(|cell|²) —
+    the SemDeDup paper's own design makes clusters small by choosing k
+    proportional to n (k ≈ n/⟨target cluster size⟩); at corpus scale raise
+    ``k`` exactly like the IVF index raises n_cells (≈√n), keeping each
+    cluster a bounded fraction. The default k=8 matches the kmeans oracle's
+    seed protocol at test scale.
+
+    Returns (vec_id, cell, semdup) for every non-zero vector."""
+    import ray
+
+    C, c_sq, cent_ids = _seed_centroids(ds, k, id_col, vec_col)
+    cref = ray.put((C, c_sq, cent_ids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm, csq, cids = ray.get(cref)
+        ids, qs = [], []
+        for vid, vec in zip(
+            batch.column(id_col).to_pylist(), batch.column(vec_col).to_pylist()
+        ):
+            x = np.asarray(vec, dtype=np.float64)
+            m = float(np.max(np.abs(x))) if len(x) else 0.0
+            if m == 0.0:
+                continue  # no scale exists; the oracle's mx > 0 filter
+            ids.append(int(vid))
+            qs.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
+        if not qs:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "qvec": pa.array([], pa.binary()),
+                }
+            )
+        X = np.stack(qs)
+        d = (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + csq[None, :]
+        cell = cids[np.argmin(d, axis=1)]  # first occurrence = lowest cell id
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "qvec": pa.array(
+                    [q.astype(np.int8).tobytes() for q in qs], pa.binary()
+                ),
+            }
+        )
+
+    def dedup_cell(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist(), np.int64)
+        order = np.argsort(ids)  # ids are unique — ascending-id scan order
+        ids = ids[order]
+        Q = np.stack(
+            [
+                np.frombuffer(b, dtype=np.int8).astype(np.int64)
+                for b in group.column("qvec").to_pylist()
+            ]
+        )[order]
+        D = Q @ Q.T
+        nrm = (Q * Q).sum(axis=1)
+        sim = (D > 0) & (tau_den * D * D >= tau_num * np.outer(nrm, nrm))
+        dup = np.tril(sim, -1).any(axis=1)  # ∃ earlier (smaller-id) neighbor
+        cell = int(group.column("cell")[0].as_py())
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cell": pa.array([cell] * len(ids), pa.int64()),
+                "semdup": pa.array(dup.tolist(), pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_cell, batch_format="pyarrow")
     )
