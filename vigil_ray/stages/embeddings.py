@@ -98,9 +98,12 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "e
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    # k smallest non-zero ids (margin for the zero-vector corner, asserted)
+    # k smallest non-zero ids (margin for the zero-vector corner, asserted).
+    # The centroid matrix ships as float64: int64 matmul has no BLAS kernel
+    # (4× slower measured), and every distance term is an integer ≤ ~4·127²·dim
+    # ≪ 2⁵³, so the float64 arithmetic is bit-exact.
     C, c_sq, cent_ids = _seed_centroids(ds, k, id_col, vec_col)
-    cref = ray.put((C, c_sq, cent_ids))
+    cref = ray.put((C.astype(np.float64), c_sq.astype(np.float64), cent_ids))
 
     def partial(batch: pa.Table) -> pa.Table:
         Cm, csq, cids = ray.get(cref)
@@ -110,7 +113,7 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "e
             m = float(np.max(np.abs(x))) if len(x) else 0.0
             if m == 0.0:
                 continue
-            qs.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
+            qs.append(_round_half_away(x * (127.0 / m)))
         if not qs:
             return pa.table(
                 {
@@ -119,7 +122,7 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id", vec_col: str = "e
                     "inertia": pa.array([], pa.int64()),
                 }
             )
-        X = np.stack(qs)  # B × dim, |q| ≤ 127 → dists ≤ ~2e6, int64-exact
+        X = np.stack(qs)  # float64 integer-valued; dists ≤ ~8e6 ≪ 2⁵³, exact
         d = (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + csq[None, :]
         assign = np.argmin(d, axis=1)  # first occurrence = lowest cell index
         dmin = d[np.arange(len(qs)), assign]
@@ -182,7 +185,18 @@ def semdedup(
     import ray
 
     C, c_sq, cent_ids = _seed_centroids(ds, k, id_col, vec_col)
-    cref = ray.put((C, c_sq, cent_ids))
+    # every matmul below runs in float64 for the BLAS path (int64 matmul has
+    # no BLAS kernel — 4× slower measured). Exactness holds because every
+    # intermediate is an integer below 2⁵³: dots ≤ 127²·dim, and the τ²
+    # comparison's products are guarded here. Callers with huge dims or
+    # denominators must reduce the fraction.
+    max_dot = 127 * 127 * C.shape[1]
+    if max(tau_num, tau_den) * float(max_dot) ** 2 >= 2.0**53:
+        raise ValueError(
+            "tau fraction too coarse for exact float64 arithmetic at this "
+            f"dim: reduce tau_num/tau_den (max_dot={max_dot})"
+        )
+    cref = ray.put((C.astype(np.float64), c_sq.astype(np.float64), cent_ids))
 
     def assign(batch: pa.Table) -> pa.Table:
         Cm, csq, cids = ray.get(cref)
@@ -195,7 +209,7 @@ def semdedup(
             if m == 0.0:
                 continue  # no scale exists; the oracle's mx > 0 filter
             ids.append(int(vid))
-            qs.append(_round_half_away(x * (127.0 / m)).astype(np.int64))
+            qs.append(_round_half_away(x * (127.0 / m)))
         if not qs:
             return pa.table(
                 {
@@ -204,7 +218,7 @@ def semdedup(
                     "qvec": pa.array([], pa.binary()),
                 }
             )
-        X = np.stack(qs)
+        X = np.stack(qs)  # float64 integer-valued — BLAS dgemm, exact ≤ 2⁵³
         d = (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + csq[None, :]
         cell = cids[np.argmin(d, axis=1)]  # first occurrence = lowest cell id
         return pa.table(
@@ -223,14 +237,27 @@ def semdedup(
         ids = ids[order]
         Q = np.stack(
             [
-                np.frombuffer(b, dtype=np.int8).astype(np.int64)
+                np.frombuffer(b, dtype=np.int8).astype(np.float64)
                 for b in group.column("qvec").to_pylist()
             ]
         )[order]
-        D = Q @ Q.T
+        # float64 BLAS; integer-exact under the 2⁵³ guard at entry. The
+        # |cell|×|cell| similarity matrix is never materialized whole: rows
+        # stream in blocks sized so each temp stays ≈64 MiB, so one skewed
+        # mega-cell (weak head-id seeding can produce them) costs wall time
+        # but bounded memory. dup(i) ⇔ ∃ j<i with the τ² test — identical to
+        # the tril(any) form over the full matrix.
+        n = len(ids)
         nrm = (Q * Q).sum(axis=1)
-        sim = (D > 0) & (tau_den * D * D >= tau_num * np.outer(nrm, nrm))
-        dup = np.tril(sim, -1).any(axis=1)  # ∃ earlier (smaller-id) neighbor
+        dup = np.zeros(n, dtype=bool)
+        col = np.arange(n)
+        blk = max(128, (1 << 23) // max(n, 1))
+        for lo in range(1, n, blk):  # row 0 has no earlier neighbor
+            hi = min(lo + blk, n)
+            D = Q[lo:hi] @ Q.T
+            S = (D > 0) & (tau_den * D * D >= tau_num * np.outer(nrm[lo:hi], nrm))
+            S &= col[None, :] < np.arange(lo, hi)[:, None]  # j < i only
+            dup[lo:hi] = S.any(axis=1)
         cell = int(group.column("cell")[0].as_py())
         return pa.table(
             {
