@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "events_hourly_distinct",
         "embeddings_kmeans_assign",
         "embeddings_semdedup",
+        "docs_dsir_weights",
         "docs_delta_ingest",
         "docs_ols_fit",
         "docs_url_dedup",

@@ -179,3 +179,55 @@ class TestSegmentScoringDifferential:
         assert len(lm._seg_memo) <= 2
         # capped scorer still scores correctly (falls through to gram memo)
         assert lm.score("eta theta") == lm._score_scalar("eta theta")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirWeights:
+    """stages/lm.dsir_weights: hashed-unigram importance weights, target
+    slice = doc_id % target_mod == 0, micro-nat integer quantization."""
+
+    def test_target_likeness_ranks_and_exact_recompute(self):
+        import hashlib
+        import math
+
+        from vigil_ray.stages.lm import dsir_weights
+
+        # ids 0 and 10 are targets under target_mod=10; raw doc 13 uses the
+        # target vocabulary, raw docs 11/12 use their own
+        rows = [
+            {"doc_id": 0, "text": "alvo alvo foco foco"},
+            {"doc_id": 10, "text": "alvo foco alvo"},
+            {"doc_id": 11, "text": "cru bruto cru"},
+            {"doc_id": 12, "text": "bruto cru bruto"},
+            {"doc_id": 13, "text": "alvo foco alvo foco"},
+            {"doc_id": 14, "text": "   "},  # whitespace-only → excluded
+        ]
+        out = dsir_weights(_ds(rows), target_mod=10, n_buckets=64).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 10, 11, 12, 13]
+        got = out.set_index("doc_id")
+        assert bool(got.loc[0, "is_target"]) and bool(got.loc[10, "is_target"])
+        # the target-vocabulary raw doc outranks the raw-vocabulary ones
+        per_tok = got["weight_micro"] / got["n_tokens"]
+        assert per_tok[13] > per_tok[11] and per_tok[13] > per_tok[12]
+
+        # exact recompute of doc 13's weight from first principles
+        B = 64
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+        n_t, n_r = [0] * B, [0] * B
+        for r in rows:
+            ws = r["text"].lower().split()
+            side = n_t if r["doc_id"] % 10 == 0 else n_r
+            for w in ws:
+                side[bucket(w)] += 1
+        T, R = sum(n_t), sum(n_r)
+        W = [
+            math.floor(
+                (math.log(n_t[b] + 1) - math.log(T + B)
+                 - math.log(n_r[b] + 1) + math.log(R + B)) * 1_000_000 + 0.5
+            )
+            for b in range(B)
+        ]
+        want = sum(W[bucket(w)] for w in "alvo foco alvo foco".split())
+        assert int(got.loc[13, "weight_micro"]) == want
+        assert int(got.loc[13, "n_tokens"]) == 4

@@ -3366,6 +3366,17 @@ def q_docs_corpus_lm_ppl(sf_dir: str):
     return corpus_bigram_ppl(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc target-likeness
+    under hashed-unigram bucket models (target = doc_id % 97 == 0 slice,
+    B = 1024 md5 buckets, add-1 smoothing), micro-nat integer weights —
+    see :func:`vigil_ray.stages.lm.dsir_weights` for the two-pass
+    broadcast shape."""
+    from vigil_ray.stages.lm import dsir_weights
+
+    return dsir_weights(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_corpus_pmi_bigrams(sf_dir: str):
     """Top-20 collocations by pointwise mutual information (n12 ≥ 5) —
     integer micro-nat PMI so the oracle compares exactly; see
@@ -4274,6 +4285,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_bpe_train": q_corpus_bpe_train,
         "corpus_bpe_pair": q_corpus_bpe_pair,
         "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
+        "docs_dsir_weights": q_docs_dsir_weights,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "corpus_top_terms": q_corpus_top_terms,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -5219,6 +5231,30 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
             "floor(exp(sum(nll) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS ppl "
             "FROM costed GROUP BY doc_id"
+        ),
+        # same micro-nat quantize-then-sum trick as docs_corpus_lm_ppl; the
+        # bucket hash is the docs_hash_split md5 idiom. The w-weight float
+        # expression is written with the same operation order as the engine
+        # (ln(n_t+1) − ln(T+B) − ln(n_r+1) + ln(R+B)).
+        "docs_dsir_weights": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "tok AS (SELECT doc_id, doc_id % 97 = 0 AS is_target, "
+            "  CAST('0x' || substr(md5(unnest(words)), 1, 8) AS BIGINT) % 1024 AS bucket "
+            "  FROM w), "
+            "bc AS (SELECT bucket, "
+            "  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t, "
+            "  CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS n_r "
+            "  FROM tok GROUP BY bucket), "
+            "tots AS (SELECT (SELECT CAST(sum(n_t) AS BIGINT) FROM bc) AS t, "
+            "         (SELECT CAST(sum(n_r) AS BIGINT) FROM bc) AS r), "
+            "wt AS (SELECT bucket, CAST(floor((ln(n_t + 1) - ln(t + 1024) "
+            "  - ln(n_r + 1) + ln(r + 1024)) * 1000000 + 0.5) AS BIGINT) AS w_micro "
+            "  FROM bc CROSS JOIN tots) "
+            "SELECT tok.doc_id, bool_or(tok.is_target) AS is_target, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(wt.w_micro) AS BIGINT) AS weight_micro "
+            "FROM tok JOIN wt USING (bucket) GROUP BY tok.doc_id"
         ),
         "corpus_pmi_bigrams": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words "

@@ -370,3 +370,127 @@ def bigram_pmi_topk(
 
     scored = j.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi_micro", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+# word → feature bucket memo (Zipf: one md5 per UNIQUE word per worker).
+# Capped like the CharLM memos.
+_BUCKET_MEMO: dict = {}
+_BUCKET_MEMO_CAP = 1_000_000
+
+
+def _bucket(word: str, n_buckets: int) -> int:
+    b = _BUCKET_MEMO.get(word)
+    if b is None:
+        import hashlib
+
+        b = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16)
+        if len(_BUCKET_MEMO) < _BUCKET_MEMO_CAP:
+            _BUCKET_MEMO[word] = b
+    return b % n_buckets
+
+
+def dsir_weights(
+    ds,
+    target_mod: int = 97,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed-token profile is,
+    the selection step of data-selection-by-importance-resampling.
+
+    Deterministic small-scale stand-in for the paper's target corpus: docs
+    with ``doc_id % target_mod == 0`` are the "target" slice, the rest are
+    the raw pool (no RNG, oracle-reproducible). Features are word unigrams
+    hashed into ``n_buckets`` buckets via md5 (the DuckDB-matched
+    ``'0x'||substr(md5(w),1,8)`` idiom); the per-bucket log-ratio
+    ``ln(n_t+1) − ln(T+B) − ln(n_r+1) + ln(R+B)`` (add-1 smoothing) is
+    quantized to integer micro-nats BEFORE the per-doc sum, so document
+    weights are integer-exact and accumulation-order-independent — the same
+    oracle-parity trick as :func:`corpus_bigram_ppl`.
+
+    Ray shape (two streaming passes, the 100 TB form): pass 1 folds
+    per-block (bucket, side) partial counts — the shuffle carries at most
+    2·n_buckets rows per block, never tokens — into a B-sized stats table;
+    the B integer micro-nat weights broadcast once with ``ray.put``
+    (8 KiB at B=1024); pass 2 maps every document to
+    ``(doc_id, is_target, n_tokens, weight_micro)``. Nothing doc-scale
+    shuffles, nothing corpus-scale reaches the driver.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c_t: Counter = Counter()
+        c_r: Counter = Counter()
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            words = (text or "").lower().split()
+            if not words:
+                continue
+            acc = c_t if did % target_mod == 0 else c_r
+            for w in words:
+                acc[_bucket(w, n_buckets)] += 1
+        buckets = sorted(set(c_t) | set(c_r))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                "n_t": pa.array([c_t.get(b, 0) for b in buckets], pa.int64()),
+                "n_r": pa.array([c_r.get(b, 0) for b in buckets], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_t", alias_name="n_t"), Sum("n_r", alias_name="n_r"))
+        .take_all()
+    )  # ≤ n_buckets rows — bounded driver collection
+    n_t = [0] * n_buckets
+    n_r = [0] * n_buckets
+    for row in stats:
+        n_t[int(row["bucket"])] = int(row["n_t"])
+        n_r[int(row["bucket"])] = int(row["n_r"])
+    T, R = sum(n_t), sum(n_r)
+    log = math.log
+    # same left-to-right float expression as the SQL oracle, quantized per
+    # bucket — micro-nat ints sum exactly in any order
+    W = [
+        int(
+            math.floor(
+                (log(n_t[b] + 1) - log(T + n_buckets) - log(n_r[b] + 1) + log(R + n_buckets))
+                * 1_000_000
+                + 0.5
+            )
+        )
+        for b in range(n_buckets)
+    ]
+    wref = ray.put(W)
+
+    def score(batch: pa.Table) -> pa.Table:
+        Wl = ray.get(wref)
+        ids, tgt, ntok, wt = [], [], [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            words = (text or "").lower().split()
+            if not words:
+                continue
+            ids.append(int(did))
+            tgt.append(did % target_mod == 0)
+            ntok.append(len(words))
+            wt.append(sum(Wl[_bucket(w, n_buckets)] for w in words))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "is_target": pa.array(tgt, pa.bool_()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "weight_micro": pa.array(wt, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
