@@ -4254,12 +4254,15 @@ def queries() -> Dict[str, Callable]:
     # first 50 entries per round. Rounds 1-4 together produced driver-green
     # rows for 111 of the 120 queries; the nine that have never had an
     # external row lead the round-5 window so CORRECTNESS_r05 closes
-    # verification over all 120. The §2 correctness anchors
-    # (pages_pii_labels, pages_scrubbed, eval_confusion, review_items) stay
-    # in the window to catch regressions in the core PII path; the rest of
-    # the window re-checks the r4-green queries, and everything after
-    # position ~50 was driver-green in an earlier round and stays covered by
-    # the local two-scale oracle protocol (.claude/skills/verify).
+    # verification over all 120. The two round-5 additions
+    # (docs_dsir_weights, embeddings_semdedup) sit inside the window so
+    # they get an external row in their first round. The §2 correctness
+    # anchors (pages_pii_labels, pages_scrubbed, eval_confusion,
+    # review_items) stay in the window to catch regressions in the core PII
+    # path; the rest of the window re-checks the r4-green queries, and
+    # everything after position ~50 was driver-green in an earlier round and
+    # stays covered by the local two-scale oracle protocol
+    # (.claude/skills/verify).
     return {
         # --- the last nine never-driver-verified queries (r1-r4) ---
         "events_moving_sum": q_events_moving_sum,
@@ -4286,6 +4289,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_bpe_pair": q_corpus_bpe_pair,
         "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
         "docs_dsir_weights": q_docs_dsir_weights,
+        "embeddings_semdedup": q_embeddings_semdedup,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "corpus_top_terms": q_corpus_top_terms,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -4366,7 +4370,6 @@ def queries() -> Dict[str, Callable]:
         "docs_ols_fit": q_docs_ols_fit,
         "events_value_percent_rank": q_events_value_percent_rank,
         "embeddings_kmeans_assign": q_embeddings_kmeans_assign,
-        "embeddings_semdedup": q_embeddings_semdedup,
         "events_hourly_distinct": q_events_hourly_distinct,
         "docs_dup_triangles": q_docs_dup_triangles,
         "docs_delta_ingest": q_docs_delta_ingest,
