@@ -423,3 +423,33 @@ class TestExtractGateDifferential:
             assert extract_text(b) == self._extract_spec(b), s
 
         check()
+
+
+class TestBigramGateDifferential:
+    """quality_features' bigram-first gate (no repeated bigram ⇒ trigram and
+    5-gram fractions are 0.0) must be invisible: the full feature dict
+    equals computing every fraction unconditionally."""
+
+    def test_differential_repetition_heavy(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.kernel import quality as Q
+
+        vocab = ["a", "bb", "ccc", "x", "yy"]
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), min_size=0, max_size=16).map(" ".join))
+        def check(text):
+            got = Q.quality_features(text)
+            words = text.split()
+            lowered = [w.lower() for w in words]
+            lens = [len(w) for w in words]
+            total = sum(lens)
+            assert got["top2gram_frac"] == Q._top_ngram_char_frac(lowered, 2, total)
+            assert got["top3gram_frac"] == Q._top_ngram_char_frac(lowered, 3, total)
+            assert got["dup5gram_frac"] == Q._dup_ngram_char_frac(
+                lowered, 5, lens, total
+            ), text
+
+        check()

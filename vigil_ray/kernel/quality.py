@@ -85,6 +85,19 @@ def quality_features(text: str) -> Dict[str, Any]:
             dup_lines = sum(c - 1 for c in line_counts.values() if c > 1)
             dup_line_frac = dup_lines / len(lines)
 
+    # bigram-first repetition probe: a repeated n-gram for any n > 2
+    # contains a repeated bigram (its first word pair recurs at the same
+    # offset), so when NO bigram repeats the trigram and 5-gram fractions
+    # are provably 0.0 and their Counter builds are skipped (~half of web
+    # documents measured; differential-pinned against the unconditional
+    # spec in tests/test_quality.py).
+    top2 = _top_ngram_char_frac(lowered, 2, total_word_chars)
+    if top2 == 0.0 and total_word_chars:
+        top3 = dup5 = 0.0
+    else:
+        top3 = _top_ngram_char_frac(lowered, 3, total_word_chars)
+        dup5 = _dup_ngram_char_frac(lowered, 5, word_lens, total_word_chars)
+
     return {
         "n_chars": len(text),
         "n_words": n_words,
@@ -92,9 +105,9 @@ def quality_features(text: str) -> Dict[str, Any]:
         "symbol_to_word_ratio": round(n_symbols / n_words, 6) if n_words else 0.0,
         "alpha_word_frac": round(n_alpha_words / n_words, 6) if n_words else 0.0,
         "dup_line_frac": round(dup_line_frac, 6),
-        "top2gram_frac": _top_ngram_char_frac(lowered, 2, total_word_chars),
-        "top3gram_frac": _top_ngram_char_frac(lowered, 3, total_word_chars),
-        "dup5gram_frac": _dup_ngram_char_frac(lowered, 5, word_lens, total_word_chars),
+        "top2gram_frac": top2,
+        "top3gram_frac": top3,
+        "dup5gram_frac": dup5,
         "has_stopword": not _STOP_PROBE.isdisjoint(lowered),
     }
 
