@@ -1273,3 +1273,27 @@ class TestSemDeDup:
         assert dict(zip(miss["vec_id"], miss["semdup"])) == {
             1: False, 2: False, 10: False,
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemDeDupPartitionInvariance:
+    def test_same_result_any_block_layout(self):
+        import ray.data as rd
+
+        from vigil_ray.stages.embeddings import semdedup
+
+        rows = [
+            {"vec_id": i, "embedding": [float((i * 13 + j * 7) % 11 - 5) for j in range(8)]}
+            for i in range(60)
+        ]
+        outs = []
+        for parts in (1, 4, 16):
+            ds = rd.from_items(rows).repartition(parts)
+            df = (
+                semdedup(ds, k=4, tau_num=81, tau_den=100)
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])

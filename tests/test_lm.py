@@ -231,3 +231,24 @@ class TestDsirWeights:
         want = sum(W[bucket(w)] for w in "alvo foco alvo foco".split())
         assert int(got.loc[13, "weight_micro"]) == want
         assert int(got.loc[13, "n_tokens"]) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirPartitionInvariance:
+    def test_same_result_any_block_layout(self):
+        from vigil_ray.stages.lm import dsir_weights
+
+        rows = [
+            {"doc_id": i, "text": f"palavra comum {i % 7} alvo" if i % 3 else "cru bruto"}
+            for i in range(40)
+        ]
+        outs = []
+        for parts in (1, 3, 8):
+            df = (
+                dsir_weights(_ds(rows, parts=parts), target_mod=10, n_buckets=32)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
