@@ -129,3 +129,24 @@ def test_determinism_two_runs(ray_session, pages_table):
             ]
         )
     pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+def test_block_layout_invariance(ray_session, pages_table, ray_output):
+    """The flagship output is a pure per-document function of the input —
+    running the SAME pages through a 16-block layout must reproduce the
+    single-block run column-for-column (actor-pool batching and block
+    boundaries must be invisible)."""
+    import ray.data as rd
+
+    from vigil_ray.pipelines.flagship import quality_filter
+
+    ds = rd.from_arrow(pages_table).repartition(16)
+    out = (
+        quality_filter(ds, PipelineConfig(), quality_concurrency=2)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[ray_output.columns], ray_output, check_dtype=False
+    )
