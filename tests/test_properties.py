@@ -379,3 +379,28 @@ def test_scan_layers_equal_unguarded_wrappers(text):
     assert by_tipo.get("rg", []) == P.find_rg(text), text
     assert by_tipo.get("ssn", []) == P.find_ssn(text), text
     assert by_tipo.get("cartao", []) == P.find_card(text), text
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["a", " ", "  ", "\t", "\n", "\xa0", " ", " ", "\x85",
+             "b c", "١٢", "ﬁ", "①", "\x1c", "x\x00y"]
+        ),
+        max_size=12,
+    ).map("".join)
+)
+def test_normalize_ws_gate_differential(text):
+    """The canonical-whitespace gate (skip the \\s+→' ' sub when no non-space
+    whitespace and no double space exists) must be invisible — compare
+    against the unconditional spec across every Unicode \\s category."""
+    import re
+    import unicodedata
+
+    from vigil_ray.kernel import preprocess as P
+
+    spec = unicodedata.normalize("NFKC", text)
+    spec = P._CONTROL.sub("", spec)
+    spec = P._WS_RUN.sub(" ", spec).strip()
+    assert normalize_text(text) == spec

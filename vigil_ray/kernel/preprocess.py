@@ -17,6 +17,15 @@ from typing import Iterable, List, Optional
 
 _CONTROL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 _WS_RUN = re.compile(r"\s+")
+# canonical-whitespace probe: matches any \s char that is not a plain ASCII
+# space (covers \t \n \r \x0b \x0c \x1c-\x1f \x85 \xa0 and the whole Unicode
+# space block — [^\S ] is the exact complement construction) OR two adjacent
+# spaces. No match ⇒ every \s run in the text is exactly one " " ⇒ the
+# \s+→" " sub is the identity and its full rebuild (~15 µs/doc, the single
+# most expensive line of normalize_text) is skipped. One short-circuiting
+# search replaces it on the canonical-whitespace majority of a web corpus;
+# differential-pinned in tests/test_properties.py.
+_WS_NONCANON = re.compile(r"[^\S ]| {2,}")
 
 
 def normalize_text(value: Optional[object]) -> str:
@@ -29,7 +38,8 @@ def normalize_text(value: Optional[object]) -> str:
         value = str(value)
     value = unicodedata.normalize("NFKC", value)
     value = _CONTROL.sub("", value)
-    value = _WS_RUN.sub(" ", value)
+    if _WS_NONCANON.search(value) is not None:
+        value = _WS_RUN.sub(" ", value)
     return value.strip()
 
 
