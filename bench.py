@@ -196,6 +196,7 @@ def run_bench() -> dict:
         "embeddings_kmeans_assign",
         "embeddings_semdedup",
         "docs_dsir_weights",
+        "docs_winnow_fps",
         "docs_delta_ingest",
         "docs_ols_fit",
         "docs_url_dedup",

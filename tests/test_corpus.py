@@ -1297,3 +1297,67 @@ class TestSemDeDupPartitionInvariance:
             )
             outs.append(df)
         assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowFingerprints:
+    """stages/corpus.winnow_fingerprints: the L+R closed form must equal a
+    brute-force enumeration of every window's rightmost minimum, and the
+    shared-run guarantee must hold."""
+
+    @staticmethod
+    def _brute_select(h, w):
+        g = len(h)
+        sel = set()
+        for e in range(w - 1, g):
+            win = range(e - w + 1, e + 1)
+            m = min(h[p] for p in win)
+            sel.add(max(p for p in win if h[p] == m))
+        return sel
+
+    def test_matches_brute_force(self):
+        import hashlib
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.stages.corpus import winnow_fingerprints
+
+        vocab = ["um", "dois", "tres", "quatro", "cinco"]  # small → hash ties
+        k, w = 3, 4
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), min_size=0, max_size=18))
+        def check(words):
+            text = " ".join(words)
+            out = winnow_fingerprints(
+                _ds([{"doc_id": 1, "text": text}]), k=k, w=w
+            ).take_all()
+            got = {(r["pos"], r["fp_hash"]) for r in out}
+            g = len(words) - k + 1
+            if g < w:
+                assert got == set()
+                return
+            h = [
+                int(hashlib.md5(" ".join(words[p : p + k]).encode()).hexdigest()[:8], 16)
+                for p in range(g)
+            ]
+            want = {(p, h[p]) for p in self._brute_select(h, w)}
+            assert got == want, text
+
+        check()
+
+    def test_shared_run_guarantee(self):
+        from vigil_ray.stages.corpus import winnow_fingerprints
+
+        # two docs sharing a run of w+k-1 = 6 words must share a fingerprint
+        shared = "alfa beta gama delta epsilon zeta"
+        rows = [
+            {"doc_id": 1, "text": "x1 y1 " + shared + " z1"},
+            {"doc_id": 2, "text": shared + " p2 q2 r2 s2"},
+        ]
+        out = winnow_fingerprints(_ds(rows)).take_all()
+        fps = {1: set(), 2: set()}
+        for r in out:
+            fps[r["doc_id"]].add(r["fp_hash"])
+        assert fps[1] & fps[2], "shared 6-word run produced no common fingerprint"

@@ -3366,6 +3366,17 @@ def q_docs_corpus_lm_ppl(sf_dir: str):
     return corpus_bigram_ppl(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_docs_winnow_fps(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    rightmost-minimum selection over windows of w=4 consecutive word-3-gram
+    hashes — any ≥6-word run shared between documents shares a fingerprint.
+    See :func:`vigil_ray.stages.corpus.winnow_fingerprints` for the L+R
+    closed form the engine vectorizes."""
+    from vigil_ray.stages.corpus import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]), k=3, w=4)
+
+
 def q_docs_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): per-doc target-likeness
     under hashed-unigram bucket models (target = doc_id % 97 == 0 slice,
@@ -4290,6 +4301,7 @@ def queries() -> Dict[str, Callable]:
         "docs_corpus_lm_ppl": q_docs_corpus_lm_ppl,
         "docs_dsir_weights": q_docs_dsir_weights,
         "embeddings_semdedup": q_embeddings_semdedup,
+        "docs_winnow_fps": q_docs_winnow_fps,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "corpus_top_terms": q_corpus_top_terms,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -5234,6 +5246,29 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
             "floor(exp(sum(nll) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS ppl "
             "FROM costed GROUP BY doc_id"
+        ),
+        # winnowing selection via the L+R closed form: L = consecutive lags
+        # with hash >= h (non-strict), R = consecutive leads with hash > h
+        # (strict — the rightmost-tie-break side), select when L+R >= w-1.
+        # NULL lag/lead comparisons fall to the ELSE 0 arm = the boundary cap.
+        "docs_winnow_fps": (
+            "WITH wd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, words, array_length(words) - 2 AS ng FROM wd "
+            "  WHERE array_length(words) - 2 >= 4), "
+            "p AS (SELECT doc_id, words, unnest(range(0, ng)) AS pos FROM g), "
+            "h AS (SELECT doc_id, pos, CAST('0x' || substr(md5("
+            "  array_to_string(words[pos+1:pos+3], ' ')), 1, 8) AS BIGINT) AS hv FROM p), "
+            "lp AS (SELECT doc_id, pos, hv, "
+            "  lag(hv, 1) OVER win AS g1, lag(hv, 2) OVER win AS g2, lag(hv, 3) OVER win AS g3, "
+            "  lead(hv, 1) OVER win AS d1, lead(hv, 2) OVER win AS d2, lead(hv, 3) OVER win AS d3 "
+            "  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) "
+            "SELECT doc_id, pos, hv AS fp_hash FROM (SELECT doc_id, pos, hv, "
+            "  CASE WHEN g1 >= hv THEN CASE WHEN g2 >= hv THEN "
+            "    CASE WHEN g3 >= hv THEN 3 ELSE 2 END ELSE 1 END ELSE 0 END "
+            "  + CASE WHEN d1 > hv THEN CASE WHEN d2 > hv THEN "
+            "    CASE WHEN d3 > hv THEN 3 ELSE 2 END ELSE 1 END ELSE 0 END AS lr "
+            "  FROM lp) WHERE lr >= 3"
         ),
         # same micro-nat quantize-then-sum trick as docs_corpus_lm_ppl; the
         # bucket hash is the docs_hash_split md5 idiom. The w-weight float

@@ -1992,3 +1992,92 @@ def token_budget_select(ds, id_col: str, score_col: str, cost_col: str, budget: 
         )
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+# k-gram string → 32-bit fingerprint hash memo (Zipf-bounded like the other
+# kernel memos; the md5 prefix matches the DuckDB '0x'||substr(md5(),1,8)
+# idiom used by every hash-coupled oracle in this repo).
+_WINNOW_MEMO: dict = {}
+_WINNOW_MEMO_CAP = 1_000_000
+
+
+def _winnow_hash(gram: str) -> int:
+    h = _WINNOW_MEMO.get(gram)
+    if h is None:
+        import hashlib
+
+        h = int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:8], 16)
+        if len(_WINNOW_MEMO) < _WINNOW_MEMO_CAP:
+            _WINNOW_MEMO[gram] = h
+    return h
+
+
+def winnow_fingerprints(
+    ds, k: int = 3, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    SIGMOD — the MOSS algorithm) over word ``k``-grams: hash every k-gram,
+    slide a window of ``w`` consecutive hashes, and select each window's
+    RIGHTMOST minimum. The guarantee: any shared run of ≥ w+k−1 words
+    between two documents shares at least one selected fingerprint.
+
+    Selection is computed by the closed form ``L_p + R_p ≥ w−1`` where
+    ``L_p`` counts consecutive predecessors with ``h ≥ h_p`` and ``R_p``
+    consecutive successors with ``h > h_p`` (both capped at ``w−1``;
+    the strict/non-strict split encodes the rightmost tie-break) —
+    equivalent to enumerating every window (pinned by a brute-force
+    hypothesis differential in tests/test_corpus.py), but one vectorized
+    pass per document instead of O(g·w).
+
+    Ray shape: a pure ``map_batches`` — no shuffle, no state; k-gram
+    hashes come from a per-worker Zipf-capped md5 memo. Docs with fewer
+    than ``w`` k-gram positions (no full window) emit nothing, exactly as
+    the classic algorithm. Output: one row per selected (doc, position):
+    ``(doc_id, pos, fp_hash)``."""
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        out_ids, out_pos, out_fp = [], [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            words = (text or "").split()
+            g = len(words) - k + 1
+            if g < w:
+                continue
+            h = np.fromiter(
+                (
+                    _winnow_hash(" ".join(words[p : p + k]))
+                    for p in range(g)
+                ),
+                dtype=np.int64,
+                count=g,
+            )
+            # L: consecutive predecessors ≥ h_p; R: consecutive successors
+            # > h_p — chained shifted comparisons, each capped at w−1
+            L = np.zeros(g, dtype=np.int64)
+            run = np.ones(g, dtype=bool)
+            for j in range(1, w):
+                cmp = np.zeros(g, dtype=bool)
+                cmp[j:] = h[:-j] >= h[j:]
+                run &= cmp
+                L += run
+            R = np.zeros(g, dtype=np.int64)
+            run = np.ones(g, dtype=bool)
+            for j in range(1, w):
+                cmp = np.zeros(g, dtype=bool)
+                cmp[:-j] = h[j:] > h[:-j]
+                run &= cmp
+                R += run
+            sel = np.flatnonzero(L + R >= w - 1)
+            out_ids.extend([int(did)] * len(sel))
+            out_pos.extend(sel.tolist())
+            out_fp.extend(h[sel].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "fp_hash": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fingerprints, batch_format="pyarrow")
