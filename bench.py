@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "embeddings_semdedup",
         "docs_dsir_weights",
         "docs_winnow_fps",
+        "docs_winnow_match_pairs",
         "docs_delta_ingest",
         "docs_ols_fit",
         "docs_url_dedup",

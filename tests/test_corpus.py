@@ -1361,3 +1361,30 @@ class TestWinnowFingerprints:
         for r in out:
             fps[r["doc_id"]].add(r["fp_hash"])
         assert fps[1] & fps[2], "shared 6-word run produced no common fingerprint"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowMatchPairs:
+    def test_shared_run_pair_and_boilerplate_exclusion(self):
+        from vigil_ray.stages.corpus import winnow_match_pairs
+
+        shared = "alfa beta gama delta epsilon zeta"  # w+k-1 = 6 words
+        boiler = "um dois tres quatro cinco seis sete oito"
+        rows = [
+            {"doc_id": 1, "text": "x1 y1 " + shared},
+            {"doc_id": 2, "text": shared + " p2 q2"},
+            # docs 3..9 share only the boilerplate run
+            *[{"doc_id": i, "text": boiler + f" fim{i}"} for i in range(3, 10)],
+        ]
+        # max_share=2: docs 1+2's fingerprints stay; the 7-doc boilerplate
+        # fingerprints are excluded whole
+        out = winnow_match_pairs(_ds(rows), max_share=2).to_pandas()
+        got = {(a, b) for a, b in zip(out["a"], out["b"])}
+        assert (1, 2) in got
+        assert not any(a >= 3 or b >= 3 for a, b in got), got
+        n = out.set_index(["a", "b"]).loc[(1, 2), "n_shared"]
+        assert n >= 1
+        # raising max_share above 7 admits the boilerplate pairs
+        out2 = winnow_match_pairs(_ds(rows), max_share=10).to_pandas()
+        got2 = {(a, b) for a, b in zip(out2["a"], out2["b"])}
+        assert (3, 4) in got2 and (8, 9) in got2

@@ -3377,6 +3377,15 @@ def q_docs_winnow_fps(sf_dir: str):
     return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]), k=3, w=4)
 
 
+def q_docs_winnow_match_pairs(sf_dir: str):
+    """MOSS match detection: document pairs ranked by distinct shared
+    winnowing fingerprints, with the over-shared (> 10 docs) boilerplate
+    exclusion — see :func:`vigil_ray.stages.corpus.winnow_match_pairs`."""
+    from vigil_ray.stages.corpus import winnow_match_pairs
+
+    return winnow_match_pairs(_docs(sf_dir, ["doc_id", "text"]), k=3, w=4, max_share=10)
+
+
 def q_docs_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): per-doc target-likeness
     under hashed-unigram bucket models (target = doc_id % 97 == 0 slice,
@@ -4302,6 +4311,7 @@ def queries() -> Dict[str, Callable]:
         "docs_dsir_weights": q_docs_dsir_weights,
         "embeddings_semdedup": q_embeddings_semdedup,
         "docs_winnow_fps": q_docs_winnow_fps,
+        "docs_winnow_match_pairs": q_docs_winnow_match_pairs,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "corpus_top_terms": q_corpus_top_terms,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -5269,6 +5279,32 @@ SELECT a, b FROM pairdist WHERE d <= 3
             "  + CASE WHEN d1 > hv THEN CASE WHEN d2 > hv THEN "
             "    CASE WHEN d3 > hv THEN 3 ELSE 2 END ELSE 1 END ELSE 0 END AS lr "
             "  FROM lp) WHERE lr >= 3"
+        ),
+        # the winnowing CTE chain again, then: distinct (doc, fp), the
+        # > max_share boilerplate exclusion, and a distinct-shared count
+        # per doc pair (sel is distinct so count(*) = distinct fps)
+        "docs_winnow_match_pairs": (
+            "WITH wd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents WHERE trim(text) <> ''), "
+            "g AS (SELECT doc_id, words, array_length(words) - 2 AS ng FROM wd "
+            "  WHERE array_length(words) - 2 >= 4), "
+            "p AS (SELECT doc_id, words, unnest(range(0, ng)) AS pos FROM g), "
+            "h AS (SELECT doc_id, pos, CAST('0x' || substr(md5("
+            "  array_to_string(words[pos+1:pos+3], ' ')), 1, 8) AS BIGINT) AS hv FROM p), "
+            "lp AS (SELECT doc_id, pos, hv, "
+            "  lag(hv, 1) OVER win AS g1, lag(hv, 2) OVER win AS g2, lag(hv, 3) OVER win AS g3, "
+            "  lead(hv, 1) OVER win AS d1, lead(hv, 2) OVER win AS d2, lead(hv, 3) OVER win AS d3 "
+            "  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), "
+            "sel AS (SELECT DISTINCT doc_id, hv FROM (SELECT doc_id, pos, hv, "
+            "  CASE WHEN g1 >= hv THEN CASE WHEN g2 >= hv THEN "
+            "    CASE WHEN g3 >= hv THEN 3 ELSE 2 END ELSE 1 END ELSE 0 END "
+            "  + CASE WHEN d1 > hv THEN CASE WHEN d2 > hv THEN "
+            "    CASE WHEN d3 > hv THEN 3 ELSE 2 END ELSE 1 END ELSE 0 END AS lr "
+            "  FROM lp) WHERE lr >= 3), "
+            "keep AS (SELECT hv FROM sel GROUP BY hv HAVING count(*) <= 10) "
+            "SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM sel x JOIN keep USING (hv) JOIN sel y USING (hv) "
+            "WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id"
         ),
         # same micro-nat quantize-then-sum trick as docs_corpus_lm_ppl; the
         # bucket hash is the docs_hash_split md5 idiom. The w-weight float

@@ -2081,3 +2081,69 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(fingerprints, batch_format="pyarrow")
+
+
+def winnow_match_pairs(
+    ds,
+    k: int = 3,
+    w: int = 4,
+    max_share: int = 10,
+    max_bucket: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Cross-document matches from winnowing fingerprints — the second half
+    of the MOSS pipeline: documents sharing selected fingerprints, ranked by
+    how many DISTINCT fingerprints they share. Fingerprints selected in more
+    than ``max_share`` documents are excluded whole (MOSS's own
+    over-shared/boilerplate rule — template n-grams carry no plagiarism
+    signal and would pair the entire corpus).
+
+    Exactness of the exclusion under the block pre-cap: bucket members are
+    already distinct docs (the (doc, fp) dedup below), so a bucket pre-capped
+    to ``max_bucket`` members still has > ``max_share`` members whenever its
+    TRUE size does (any ``max_bucket`` > ``max_share``) — the
+    len-check excludes it correctly without ever seeing the full bucket.
+
+    Ray shape: winnow map → in-block (doc, fp) dedup (a document's
+    fingerprint rows never span blocks, so block-local dedup is globally
+    exact) → ``sorted_bucket_pairs`` keyed on fp_hash (pair explosion
+    bounded by max_share²/2 per bucket) → ``sorted_group_sum`` over the
+    pair key (a hash-aggregate groupby paid ~25 µs of machinery per group
+    — 5 s over the 198k distinct pairs at sf0.1; the sorted-adjacency
+    reduceat form is the repo's standard replacement).
+    Output: (a, b, n_shared) with a < b."""
+    from vigil_ray.stages.dedup import all_member_pairs, sorted_bucket_pairs
+
+    fps = winnow_fingerprints(ds, k=k, w=w, id_col=id_col, text_col=text_col)
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, "fp_hash"]).group_by([id_col, "fp_hash"]).aggregate([])
+        return t.rename_columns([id_col, "fp_hash"])
+
+    distinct = fps.map_batches(dedup_block, batch_format="pyarrow")
+
+    def bounded_pairs(members: list) -> list:
+        if len(members) > max_share:
+            return []
+        return all_member_pairs(members)
+
+    pairs = sorted_bucket_pairs(
+        distinct,
+        ["fp_hash"],
+        [id_col],
+        bounded_pairs,
+        max_bucket,
+        "winnow_match_pairs",
+    )
+
+    def weight_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_shared", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+
+    return sorted_group_sum(
+        pairs.map_batches(weight_one, batch_format="pyarrow"),
+        ["a", "b"],
+        ["n_shared"],
+    )
