@@ -54,6 +54,13 @@ _PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uin
 _PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
 
 
+# shingle → 64-bit hash memo: natural-language n-grams are Zipf-distributed,
+# so one dict probe replaces a blake2b digest on the repeats (same cap
+# pattern as the CharLM/quality memos; values identical by construction)
+_SHINGLE_MEMO: dict = {}
+_SHINGLE_MEMO_CAP = 2_000_000
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """Stable 64-bit hashes of word n-gram shingles."""
     from vigil_ray.kernel.textstats import word_ngrams
@@ -61,11 +68,18 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     grams = word_ngrams(text, n)
     if not grams:
         return np.zeros(1, dtype=np.uint64)
+    memo = _SHINGLE_MEMO
+    get = memo.get
     out = np.empty(len(grams), dtype=np.uint64)
     for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+        v = get(g)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            if len(memo) < _SHINGLE_MEMO_CAP:
+                memo[g] = v
+        out[i] = v
     return out
 
 
