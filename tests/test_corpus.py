@@ -1388,3 +1388,35 @@ class TestWinnowMatchPairs:
         out2 = winnow_match_pairs(_ds(rows), max_share=10).to_pandas()
         got2 = {(a, b) for a, b in zip(out2["a"], out2["b"])}
         assert (3, 4) in got2 and (8, 9) in got2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowDistinct:
+    def test_distinct_equals_set_of_default(self):
+        """distinct=True must emit exactly the unique (doc, fp) pairs of the
+        per-position output, with pos = the smallest selected position —
+        regardless of how Ray batches the map input (the dedup happens at
+        emission, per document)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vigil_ray.stages.corpus import winnow_fingerprints
+
+        vocab = ["um", "dois", "tres"]  # tiny vocab → repeated grams → dup fps
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(st.sampled_from(vocab), min_size=6, max_size=20))
+        def check(words):
+            rows = [{"doc_id": 1, "text": " ".join(words)}]
+            full = winnow_fingerprints(_ds(rows)).take_all()
+            dis = winnow_fingerprints(_ds(rows), distinct=True).take_all()
+            assert {(r["doc_id"], r["fp_hash"]) for r in dis} == {
+                (r["doc_id"], r["fp_hash"]) for r in full
+            }
+            assert len(dis) == len({r["fp_hash"] for r in dis})  # unique
+            first_pos = {}
+            for r in sorted(full, key=lambda r: r["pos"]):
+                first_pos.setdefault(r["fp_hash"], r["pos"])
+            assert {r["fp_hash"]: r["pos"] for r in dis} == first_pos
+
+        check()

@@ -2013,7 +2013,12 @@ def _winnow_hash(gram: str) -> int:
 
 
 def winnow_fingerprints(
-    ds, k: int = 3, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+    ds,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = False,
 ):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     SIGMOD — the MOSS algorithm) over word ``k``-grams: hash every k-gram,
@@ -2033,7 +2038,12 @@ def winnow_fingerprints(
     hashes come from a per-worker Zipf-capped md5 memo. Docs with fewer
     than ``w`` k-gram positions (no full window) emit nothing, exactly as
     the classic algorithm. Output: one row per selected (doc, position):
-    ``(doc_id, pos, fp_hash)``."""
+    ``(doc_id, pos, fp_hash)`` — or, with ``distinct=True``, one row per
+    unique (doc, fp_hash) with ``pos`` = the smallest selected position.
+    The dedup happens AT EMISSION, per document inside the map (a
+    downstream block-local dedup would be unsound: Ray re-batches map
+    inputs at ``batch_size`` boundaries, so one document's rows can
+    straddle two batches)."""
 
     def fingerprints(batch: pa.Table) -> pa.Table:
         out_ids, out_pos, out_fp = [], [], []
@@ -2069,6 +2079,12 @@ def winnow_fingerprints(
                 run &= cmp
                 R += run
             sel = np.flatnonzero(L + R >= w - 1)
+            if distinct:
+                # first (smallest) selected position per unique hash —
+                # np.unique returns the first occurrence index of each value
+                # in the sorted-unique order
+                _, first = np.unique(h[sel], return_index=True)
+                sel = sel[np.sort(first)]
             out_ids.extend([int(did)] * len(sel))
             out_pos.extend(sel.tolist())
             out_fp.extend(h[sel].tolist())
@@ -2105,23 +2121,19 @@ def winnow_match_pairs(
     TRUE size does (any ``max_bucket`` > ``max_share``) — the
     len-check excludes it correctly without ever seeing the full bucket.
 
-    Ray shape: winnow map → in-block (doc, fp) dedup (a document's
-    fingerprint rows never span blocks, so block-local dedup is globally
-    exact) → ``sorted_bucket_pairs`` keyed on fp_hash (pair explosion
-    bounded by max_share²/2 per bucket) → ``sorted_group_sum`` over the
-    pair key (a hash-aggregate groupby paid ~25 µs of machinery per group
-    — 5 s over the 198k distinct pairs at sf0.1; the sorted-adjacency
-    reduceat form is the repo's standard replacement).
+    Ray shape: winnow map with at-emission (doc, fp) dedup (``distinct=True``
+    — per document inside the map, sound under Ray's input re-batching) →
+    ``sorted_bucket_pairs`` keyed on fp_hash (pair explosion bounded by
+    max_share²/2 per bucket) → ``sorted_group_sum`` over the pair key (a
+    hash-aggregate groupby paid ~25 µs of machinery per group — 5 s over
+    the 198k distinct pairs at sf0.1; the sorted-adjacency reduceat form
+    is the repo's standard replacement).
     Output: (a, b, n_shared) with a < b."""
     from vigil_ray.stages.dedup import all_member_pairs, sorted_bucket_pairs
 
-    fps = winnow_fingerprints(ds, k=k, w=w, id_col=id_col, text_col=text_col)
-
-    def dedup_block(batch: pa.Table) -> pa.Table:
-        t = batch.select([id_col, "fp_hash"]).group_by([id_col, "fp_hash"]).aggregate([])
-        return t.rename_columns([id_col, "fp_hash"])
-
-    distinct = fps.map_batches(dedup_block, batch_format="pyarrow")
+    distinct = winnow_fingerprints(
+        ds, k=k, w=w, id_col=id_col, text_col=text_col, distinct=True
+    )
 
     def bounded_pairs(members: list) -> list:
         if len(members) > max_share:
